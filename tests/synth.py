@@ -1,0 +1,125 @@
+"""Deterministic synthetic recommendation dataset.
+
+The reference test-suite downloads ml-100k (tests/test_dataset/
+test_preprocess.py:66-68); this environment has no egress, so golden-metric
+tests run on a generated dataset with planted cluster structure: users and
+items belong to latent groups and users interact overwhelmingly within their
+group, so any working model beats the random baseline by a wide, stable
+margin. Leave-one-out split (last item → test, second-to-last → valid)
+mirrors the reference preprocessing (examples/preprocess/prepare_data.py:123-125).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+N_USERS = 201          # ids 1..200 (0 is padding)
+N_ITEMS = 301          # ids 1..300
+N_CLUSTERS = 6
+MIN_LEN, MAX_LEN = 12, 40
+SEED = 7
+
+
+def generate(root: str, n_users: int = N_USERS, n_items: int = N_ITEMS,
+             text_emb_dim: int = 24) -> dict:
+    rng = np.random.default_rng(SEED)
+    os.makedirs(root, exist_ok=True)
+    item_cluster = rng.integers(0, N_CLUSTERS, size=n_items)
+    cluster_items = [np.flatnonzero(item_cluster == c) for c in range(N_CLUSTERS)]
+    cluster_items = [c[c > 0] for c in cluster_items]
+
+    seqs = {}
+    for u in range(1, n_users):
+        c = (u - 1) % N_CLUSTERS
+        L = rng.integers(MIN_LEN, MAX_LEN)
+        own = cluster_items[c]
+        other = np.concatenate([cluster_items[(c + k) % N_CLUSTERS]
+                                for k in range(1, N_CLUSTERS)])
+        n_own = int(0.85 * L)
+        items = np.concatenate([rng.choice(own, size=n_own, replace=True),
+                                rng.choice(other, size=L - n_own, replace=True)])
+        rng.shuffle(items)
+        # dedup consecutive repeats, keep >= MIN_LEN
+        seqs[u] = items.astype(np.int64)
+
+    train_rows, valid_rows, test_rows, hist_rows = [], [], [], []
+    for u, s in seqs.items():
+        train_seq, valid_item, test_item = s[:-2], s[-2], s[-1]
+        hist_rows.append((u, train_seq))
+        for it in train_seq:
+            train_rows.append((u, it))
+        valid_rows.append((u, valid_item))
+        test_rows.append((u, test_item))
+
+    pd.DataFrame(train_rows, columns=["user_id", "item_id"]).to_pickle(
+        os.path.join(root, "train.pkl"))
+    pd.DataFrame(valid_rows, columns=["user_id", "item_id"]).to_pickle(
+        os.path.join(root, "valid.pkl"))
+    pd.DataFrame(test_rows, columns=["user_id", "item_id"]).to_pickle(
+        os.path.join(root, "test.pkl"))
+    pd.DataFrame({"user_id": list(seqs.keys()),
+                  "item_seq": [np.asarray(v[:-2]) for v in seqs.values()]}).to_pickle(
+        os.path.join(root, "user_history.pkl"))
+
+    # multi-positive eval file (T5): last 3 train items as positives
+    pd.DataFrame({"user_id": list(seqs.keys()),
+                  "item_seq": [np.asarray(v[-2:]) for v in seqs.values()]}).to_pickle(
+        os.path.join(root, "test_multipos.pkl"))
+
+    # session-format ranking file (T2_1): per user session with 1 pos + 4 neg
+    rng2 = np.random.default_rng(SEED + 1)
+    sess_rows = []
+    for sid, (u, s) in enumerate(seqs.items()):
+        pos = s[-1]
+        negs = rng2.integers(1, n_items, size=4)
+        sess_rows.append((u, pos, 1, sid))
+        for ng in negs:
+            sess_rows.append((u, ng, 0, sid))
+    pd.DataFrame(sess_rows, columns=["user_id", "item_id", "label", "session_id"]) \
+        .to_pickle(os.path.join(root, "test_session.pkl"))
+
+    # frozen "text" embeddings correlated with clusters
+    centers = rng.normal(size=(N_CLUSTERS, text_emb_dim))
+    text = centers[item_cluster] + 0.1 * rng.normal(size=(n_items, text_emb_dim))
+    with open(os.path.join(root, "text_emb.tsv"), "w") as f:
+        for i in range(1, n_items):
+            f.write(f"{i}\t" + ",".join(f"{x:.5f}" for x in text[i]) + "\n")
+
+    info = {"n_users": n_users, "n_items": n_items,
+            "train_file_format": "user-item",
+            "valid_file_format": "user-item",
+            "test_file_format": "user-item",
+            "user_history_file_format": "user-item_seq"}
+    with open(os.path.join(root, "data.info"), "w") as f:
+        json.dump(info, f)
+    return info
+
+
+BASE_CONF = {
+    "dataset": "synth",
+    "exp_name": "pytest",
+    "learning_rate": 0.002,
+    "dropout_prob": 0.0,
+    "embedding_size": 32,
+    "hidden_size": 32,
+    "loss_type": "bce",
+    "max_seq_len": 10,
+    "has_user_bias": 0,
+    "has_item_bias": 0,
+    "epochs": 3,
+    "early_stop": -1,
+    "batch_size": 256,
+    "n_sample_neg_train": 9,
+    "valid_protocol": "one_vs_all",
+    "test_protocol": "one_vs_all",
+    "history_mask_mode": "autoregressive",
+    "user_history_filename": "user_history",
+    "metrics": "['hit@5;10', 'ndcg@5;10']",
+    "key_metric": "ndcg@5",
+    "verbose": 1,
+    "shuffle_train": 1,
+    "seed": 2022,
+}

@@ -1,0 +1,132 @@
+"""Layered configuration system.
+
+Merge order (lowest → highest priority), matching the reference's semantics
+(unirec/utils/argument_parser.py:214-241, documented at main.py:440-442):
+
+    base.yaml → config/model/<Model>.yaml → config/dataset/<dataset>.yaml
+    → optional --config_file → command-line args → caller-provided dict
+
+Dataset yamls may live either in this package's ``dataset/`` dir or next to
+the data (``<dataset_path>/<dataset>.yaml`` or ``data.info`` JSON produced by
+preprocessing).
+"""
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import os
+from typing import Any, Dict, Iterable, Optional
+
+import yaml
+
+_CONFIG_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _load_yaml(path: str) -> Dict[str, Any]:
+    with open(path, "r") as f:
+        data = yaml.safe_load(f)
+    return data or {}
+
+
+def _coerce(value: str) -> Any:
+    """Best-effort typed parse of a CLI string value."""
+    if not isinstance(value, str):
+        return value
+    low = value.strip()
+    if low.lower() in ("true", "false"):
+        return low.lower() == "true"
+    try:
+        return ast.literal_eval(low)
+    except (ValueError, SyntaxError):
+        return value
+
+
+def parse_cmd_arguments(argv: Optional[Iterable[str]] = None) -> Dict[str, Any]:
+    """Parse ``--key value`` style args into a typed dict (unknown keys allowed)."""
+    parser = argparse.ArgumentParser(add_help=False)
+    known, unknown = parser.parse_known_args(list(argv) if argv is not None else None)
+    res: Dict[str, Any] = {}
+    key = None
+    for tok in unknown:
+        if tok.startswith("--"):
+            if "=" in tok:
+                k, v = tok[2:].split("=", 1)
+                res[k] = _coerce(v)
+                key = None
+            else:
+                key = tok[2:]
+                res[key] = True  # bare flag
+        elif key is not None:
+            res[key] = _coerce(tok)
+            key = None
+    return res
+
+
+def load_dataset_config(config: Dict[str, Any]) -> Dict[str, Any]:
+    """Locate dataset metadata: packaged yaml, sidecar yaml, or data.info JSON."""
+    name = config.get("dataset")
+    res: Dict[str, Any] = {}
+    if name:
+        packaged = os.path.join(_CONFIG_DIR, "dataset", f"{name}.yaml")
+        if os.path.exists(packaged):
+            res.update(_load_yaml(packaged))
+    dpath = config.get("dataset_path")
+    if dpath:
+        for cand in (os.path.join(dpath, f"{name}.yaml") if name else None,
+                     os.path.join(dpath, "data.info")):
+            if cand and os.path.exists(cand):
+                if cand.endswith(".info"):
+                    with open(cand) as f:
+                        res.update(json.load(f))
+                else:
+                    res.update(_load_yaml(cand))
+    return res
+
+
+def parse_arguments(args: Optional[Dict[str, Any]] = None,
+                    argv: Optional[Iterable[str]] = None) -> Dict[str, Any]:
+    """Produce the final merged config dict.
+
+    ``args`` is the caller-provided dict (highest priority); ``argv`` a list of
+    CLI tokens (next priority; defaults to empty — pass ``sys.argv[1:]`` from
+    real CLIs).
+    """
+    args = dict(args or {})
+    cmd = parse_cmd_arguments(argv if argv is not None else [])
+
+    config = _load_yaml(os.path.join(_CONFIG_DIR, "base.yaml"))
+
+    # model yaml
+    model_name = args.get("model") or cmd.get("model") or config.get("model")
+    model_yaml = os.path.join(_CONFIG_DIR, "model", f"{model_name}.yaml")
+    if os.path.exists(model_yaml):
+        config.update(_load_yaml(model_yaml))
+    config["model"] = model_name
+
+    # dataset yaml / data.info — dataset name+path may come from any layer
+    probe = dict(config)
+    probe.update(cmd)
+    probe.update(args)
+    config.update(load_dataset_config(probe))
+
+    # optional --config_file
+    cfg_file = args.get("config_file") or cmd.get("config_file")
+    if cfg_file:
+        config.update(_load_yaml(cfg_file))
+
+    config.update(cmd)
+    config.update(args)
+    config["cmd_args"] = cmd  # kept for re-overlay after checkpoint-config load
+    return config
+
+
+def overlay_checkpoint_config(config: Dict[str, Any], ckpt_config: Dict[str, Any]) -> Dict[str, Any]:
+    """Replace config with one stored in a checkpoint, re-applying cmd args on
+    top (reference main.py:304-306,332-334)."""
+    res = dict(ckpt_config)
+    res.update(config.get("cmd_args", {}))
+    for key in ("task", "dataset_path", "output_path", "model_file"):
+        if key in config:
+            res[key] = config[key]
+    return res

@@ -1,0 +1,273 @@
+"""Evaluation drivers for the three protocols.
+
+Equivalents of the reference evaluators (facility/evaluation/*.py) with the
+scoring hot path moved on-device:
+
+  - one_vs_all: the reference scores the full catalog in CPU numpy
+    (evaluator_abc.py:218-247) and ranks with numba (onepos.py:20-31). Here a
+    single jit program computes user embeddings, the [B, n_items] matmul,
+    history masking, tie-break noise, ranks/top-k and per-row metric values;
+    only small per-row metric vectors return to host.
+  - one_vs_k / label_aware: grouped scores from ``model.predict``.
+  - session_aware: scores on device, session grouping + per-session metrics
+    on host (sessions are ragged; volume is tiny).
+
+All metric formulas match onepos.py / multipos.py / sessionwise.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unirec_tpu.constants import DataFormat, EvalProtocol
+from unirec_tpu.data.history import UserHistory
+from unirec_tpu.ops import metrics as M
+
+
+def _np(x):
+    return np.asarray(jax.device_get(x))
+
+
+class _EvaluatorBase:
+    def __init__(self, config: Dict[str, Any], model, mesh=None):
+        self.config = config
+        self.model = model
+        self.mesh = mesh
+        self.metric_names = M.parse_metrics(config.get("metrics", "['group_auc']"))
+        self.seed = int(config.get("seed", 2022))
+        # solver models (models/solvers.py) do host-side sparse work in
+        # apply(); only pure metric math is jitted for them
+        self.traceable = hasattr(model, "init")
+
+    # --------------------------------------------------------------- helpers
+    def _variables(self, params, constants):
+        v = {"params": params}
+        if constants:
+            v["constants"] = constants
+        return v
+
+    def _predict(self, params, constants, jb):
+        if self.traceable:
+            if not hasattr(self, "_pred_jit"):
+                self._pred_jit = jax.jit(lambda p, c, b: self.model.apply(
+                    self._variables(p, c), b, method="predict"))
+            return self._pred_jit(params, constants, jb)
+        return self.model.apply(self._variables(params, constants), jb,
+                                method="predict")
+
+    def merge(self, rows: Dict[str, List[np.ndarray]],
+              weights: List[np.ndarray]) -> Dict[str, float]:
+        w = np.concatenate(weights)
+        out = {}
+        for k, vals in rows.items():
+            v = np.concatenate(vals)
+            out[k] = float(np.sum(v * w) / max(np.sum(w), 1.0))
+        return out
+
+
+class OnePositiveEvaluator(_EvaluatorBase):
+    """One positive per row; both one-vs-k (grouped scores) and one-vs-all
+    (full catalog) paths."""
+
+    def __init__(self, config, model, mesh=None):
+        super().__init__(config, model, mesh)
+
+        def _group_metrics(scores, key):
+            scores = M.add_tie_noise(scores, key)
+            rank = M.onepos_rank_from_group(scores)
+            return M.onepos_metrics(rank, scores.shape[1], tuple(self.metric_names))
+
+        def _user_scores(params, constants, item_emb, batch):
+            variables = self._variables(params, constants)
+            user_emb = self.model.apply(variables, batch, method="user_emb")
+            scores = user_emb @ item_emb.T
+            ub, ib = self.model.apply(variables, method="bias_terms")
+            if ib is not None:
+                scores = scores + ib[None, :]
+            if ub is not None:
+                scores = scores + ub[batch["user_id"]][:, None]
+            return scores / float(self.config.get("tau", 1.0))
+
+        @functools.partial(jax.jit, static_argnames=("n_items",))
+        def _ova_metrics(scores, pos, hist_items, hist_len, key, n_items):
+            rank = M.onepos_rank_full_catalog(scores, pos, hist_items, hist_len, key)
+            return M.onepos_metrics(rank, n_items, tuple(self.metric_names))
+
+        self._group_metrics = jax.jit(_group_metrics)
+        self._user_scores_fn = jax.jit(_user_scores) if self.traceable else _user_scores
+        self._ova_metrics = _ova_metrics
+
+    def _item_table(self, params, constants):
+        if self.traceable:
+            return jax.jit(lambda p, c: self.model.apply(
+                self._variables(p, c), method="all_item_emb"))(params, constants)
+        return self.model.apply(None, method="all_item_emb")
+
+    def evaluate(self, batcher, params, constants=None) -> Dict[str, float]:
+        rows: Dict[str, List[np.ndarray]] = {m: [] for m in self.metric_names}
+        weights = []
+        key = jax.random.PRNGKey(self.seed + 101)
+        for i, batch in enumerate(batcher):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            scores = self._predict(params, constants, jb)
+            if scores.ndim == 1:
+                g = int(self.config.get("group_size", -1) or -1)
+                if g > 0:
+                    scores = scores.reshape(-1, g)
+                else:
+                    scores = scores.reshape(len(batch["weight"]), -1)
+            vals = self._group_metrics(scores, jax.random.fold_in(key, i))
+            w = batch["weight"]
+            if scores.shape[0] != len(w):  # per-group rows after reshape
+                w = np.repeat(w, scores.shape[0] // len(w))
+            for m in self.metric_names:
+                rows[m].append(_np(vals[m]))
+            weights.append(w)
+        return self.merge(rows, weights)
+
+    def evaluate_full(self, batcher, params, history: UserHistory,
+                      constants=None) -> Dict[str, float]:
+        item_emb = self._item_table(params, constants)
+        n_items = int(self.config["n_items"])
+        rows: Dict[str, List[np.ndarray]] = {m: [] for m in self.metric_names}
+        weights = []
+        key = jax.random.PRNGKey(self.seed + 202)
+        for i, batch in enumerate(batcher):
+            hist_items, hist_len = history.gather(batch["user_id"])
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            scores = self._user_scores_fn(params, constants, item_emb, jb)
+            pos = jb["item_id"]
+            if pos.ndim == 2:
+                pos = pos[:, 0]
+            vals = self._ova_metrics(scores, pos, jnp.asarray(hist_items),
+                                     jnp.asarray(hist_len),
+                                     jax.random.fold_in(key, i), n_items=n_items)
+            for m in self.metric_names:
+                rows[m].append(_np(vals[m]))
+            weights.append(batch["weight"])
+        return self.merge(rows, weights)
+
+    def predict_scores(self, batcher, params, constants=None) -> np.ndarray:
+        """Raw score inference (predict_only path, evaluator_abc.py:175)."""
+        out = []
+        for batch in batcher:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            scores = _np(self._predict(params, constants, jb))
+            out.append(scores[batch["weight"] > 0])
+        return np.concatenate(out)
+
+
+class MultiPositiveEvaluator(OnePositiveEvaluator):
+    """One-vs-all with multiple positives per user (T5/T6 eval)."""
+
+    def __init__(self, config, model, mesh=None):
+        super().__init__(config, model, mesh)
+        ks = [int(m.split("@")[1]) for m in self.metric_names if "@" in m]
+        self.max_k = max(ks) if ks else 10
+
+        @jax.jit
+        def _mp_metrics(scores, pos_items, hist_items, hist_len, key):
+            return M.multipos_topk_and_metrics(
+                scores, pos_items, hist_items, hist_len,
+                tuple(m for m in self.metric_names if "@" in m), self.max_k, key)
+
+        self._mp_metrics = _mp_metrics
+
+    def evaluate_full(self, batcher, params, history: UserHistory,
+                      constants=None) -> Dict[str, float]:
+        item_emb = self._item_table(params, constants)
+        names = [m for m in self.metric_names if "@" in m]
+        rows: Dict[str, List[np.ndarray]] = {m: [] for m in names}
+        weights = []
+        key = jax.random.PRNGKey(self.seed + 303)
+        for i, batch in enumerate(batcher):
+            hist_items, hist_len = history.gather(batch["user_id"])
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            scores = self._user_scores_fn(params, constants, item_emb, jb)
+            vals = self._mp_metrics(scores, jb["item_id"], jnp.asarray(hist_items),
+                                    jnp.asarray(hist_len), jax.random.fold_in(key, i))
+            for m in names:
+                rows[m].append(_np(vals[m]))
+            weights.append(batch["weight"])
+        return self.merge(rows, weights)
+
+
+class SessionWiseEvaluator(_EvaluatorBase):
+    """Session-grouped metrics (sessionwise.py): score on device, group and
+    reduce per session on host. Sessions that are all-positive or all-negative
+    are dropped (sessionwise.py:104-115)."""
+
+    def evaluate(self, batcher, params, constants=None) -> Dict[str, float]:
+        scores, labels, sessions = [], [], []
+        for batch in batcher:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            s = _np(self._predict(params, constants, jb)).reshape(-1)
+            keep = np.repeat(batch["weight"] > 0, s.shape[0] // len(batch["weight"]))
+            scores.append(s[keep])
+            labels.append(np.asarray(batch["label"]).reshape(-1)[keep])
+            sessions.append(np.asarray(batch["session_id"]).reshape(-1)[keep]
+                            if "session_id" in batch else
+                            np.asarray(batch["user_id"]).reshape(-1)[keep])
+        return self.evaluate_with_scores(np.concatenate(scores),
+                                         np.concatenate(labels),
+                                         np.concatenate(sessions))
+
+    def evaluate_with_scores(self, scores: np.ndarray, labels: np.ndarray,
+                             session_ids: np.ndarray) -> Dict[str, float]:
+        rng = np.random.default_rng(self.seed + 404)
+        scores = scores + rng.uniform(-1e-8, 1e-8, size=scores.shape)
+        order = np.argsort(session_ids, kind="stable")
+        s, l, g = scores[order], labels[order], session_ids[order]
+        bounds = np.flatnonzero(np.r_[True, g[1:] != g[:-1], True])
+        res: Dict[str, List[float]] = {m: [] for m in self.metric_names}
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            gs, gl = s[a:b], l[a:b]
+            n_pos = gl.sum()
+            if n_pos <= 0 or n_pos == len(gl):
+                continue
+            order_desc = np.argsort(-gs, kind="stable")
+            ranks_full = np.empty(len(gs), dtype=np.int64)
+            ranks_full[order_desc] = np.arange(len(gs))
+            ranks = np.sort(ranks_full[gl > 0])
+            n = len(gs)
+            ndcg_w = 1.0 / np.log2(np.arange(2, n + 2))
+            mrr_w = 1.0 / np.arange(1, n + 1)
+            for m in self.metric_names:
+                if m == "group_auc":
+                    res[m].append(M.roc_auc(gl, gs))
+                elif m == "ndcg":
+                    res[m].append(ndcg_w[ranks].sum() / ndcg_w[: len(ranks)].sum())
+                elif m == "mrr":
+                    res[m].append(mrr_w[ranks].sum() / len(ranks))
+                elif "@" in m:
+                    name, k = m.split("@")
+                    k = int(k)
+                    if name == "ndcg":
+                        nn_ = min(k, len(ranks))
+                        res[m].append(ndcg_w[ranks[ranks < k]].sum() / ndcg_w[:nn_].sum())
+                    elif name == "hit":
+                        res[m].append(1.0 if ranks[0] < k else 0.0)
+                    elif name == "recall":
+                        res[m].append((ranks < k).sum() / len(ranks))
+                    elif name == "mrr":
+                        nn_ = min(k, len(ranks))
+                        res[m].append(mrr_w[ranks[ranks < k]].sum() / nn_)
+        return {m: float(np.mean(v)) if v else 0.0 for m, v in res.items()}
+
+
+def build_evaluator(config: Dict[str, Any], model, protocol: str,
+                    data_format: Optional[str] = None, mesh=None):
+    """Protocol × format dispatch (trainer.py:100-131)."""
+    if protocol == EvalProtocol.SESSION_AWARE.value:
+        return SessionWiseEvaluator(config, model, mesh)
+    if protocol == EvalProtocol.ONE_VS_ALL.value and data_format in (
+            DataFormat.T5.value, DataFormat.T6.value):
+        return MultiPositiveEvaluator(config, model, mesh)
+    if protocol in (EvalProtocol.ONE_VS_ALL.value, EvalProtocol.ONE_VS_K.value,
+                    EvalProtocol.LABEL_AWARE.value):
+        return OnePositiveEvaluator(config, model, mesh)
+    raise ValueError(f"protocol/format mismatch: {protocol} / {data_format}")

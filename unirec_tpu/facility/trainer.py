@@ -1,0 +1,283 @@
+"""Training driver.
+
+Replaces the reference Trainer (facility/trainer.py:21-538): one jit-compiled
+train step (forward, loss, grads, clip, optimizer update — a single XLA
+program with donated state), a host epoch loop with the reference's exact
+validate-then-train ordering, early-stopping and best-checkpoint semantics
+(trainer.py:188-307), NaN-loss step skipping (trainer.py:164-168,344-352),
+and host-side LR scheduling through an injected hyperparameter.
+
+Distribution: batches are sharded over the mesh 'data' axis; parameters are
+replicated (or row-sharded if configured). Gradient psums are inserted by
+XLA from the shardings — no explicit collectives here.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unirec_tpu.constants import EvalProtocol, LossType
+from unirec_tpu.core.mesh import MeshContext, create_mesh
+from unirec_tpu.core.optim import (PlateauScheduler, build_optimizer, build_scheduler,
+                                   get_learning_rate, set_learning_rate)
+from unirec_tpu.facility.evaluation import build_evaluator
+from unirec_tpu.utils import checkpoint as ckpt_util
+from unirec_tpu.utils.logger import dict2str, setup_logger
+
+
+def early_stopping(value, best, cur_step, max_step=4, bigger=True):
+    """Verbatim semantics of reference Trainer.early_stopping
+    (trainer.py:188-233), including the >/>= asymmetry between modes."""
+    stop_flag = False
+    update_flag = False
+    if max_step > 0:
+        if bigger:
+            if best is None or value > best:
+                cur_step = 0
+                best = value
+                update_flag = True
+            else:
+                cur_step += 1
+                if cur_step > max_step:
+                    stop_flag = True
+        else:
+            if best is None or value < best:
+                cur_step = 0
+                best = value
+                update_flag = True
+            else:
+                cur_step += 1
+                if cur_step >= max_step:
+                    stop_flag = True
+    else:
+        stop_flag = False
+        update_flag = True
+    return best, cur_step, stop_flag, update_flag
+
+
+class Trainer:
+    def __init__(self, config: Dict[str, Any], model, mesh: Optional[MeshContext] = None):
+        self.config = config
+        self.model = model
+        self.mesh = mesh or create_mesh(config)
+        self.exp_name = config.get("exp_name", "unirec_tpu")
+        self.logger = setup_logger(self.exp_name, config.get("output_path"))
+        self.epochs = int(config.get("epochs", 0))
+        self.early_stop = int(config.get("early_stop", 5))
+        self.eval_step = min(1, self.epochs) if self.epochs else 1
+        self.key_metric = config.get("key_metric", "group_auc")
+        self.valid_metric_bigger = True
+        self.saved_model_file = os.path.join(
+            config.get("output_path", "."),
+            config.get("checkpoint_dir", "checkpoint"),
+            f"{self.exp_name}.pkl")
+
+        self.tx = build_optimizer(config)
+        self.scheduler = build_scheduler(config)
+        self.objective_controller = None  # MoRec hook
+
+        self.params = None
+        self.constants = None
+        self.opt_state = None
+        self.cur_epoch = 0
+        self.cur_step = 1
+        self.best_valid_score = None
+        self.best_valid_result = None
+        self.user_history = None
+        self.evaluator = None
+        self._rng = jax.random.PRNGKey(int(config.get("seed", 2022)))
+        self._train_step = None
+        self._global_step = 0
+
+    # ------------------------------------------------------------------ setup
+    def set_user_history(self, history):
+        self.user_history = history
+
+    def add_objective_controller(self, controller):
+        self.objective_controller = controller
+
+    def reset_evaluator(self, data_format=None, eval_protocol=None):
+        self.evaluator = build_evaluator(self.config, self.model,
+                                         eval_protocol, data_format, self.mesh)
+        self._eval_protocol = eval_protocol
+
+    def init_params(self, sample_batch: Dict[str, np.ndarray]):
+        if self.params is not None:
+            return
+        jb = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+        k0, k1 = jax.random.split(self._rng)
+        variables = self.model.init({"params": k0, "dropout": k1}, jb, train=False)
+        self.params = variables["params"]
+        self.constants = variables.get("constants")
+        self.opt_state = self.tx.init(self.params)
+        # replicate across the mesh
+        self.params = self.mesh.replicate(self.params)
+        self.opt_state = jax.tree_util.tree_map(
+            lambda x: x, self.opt_state)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params))
+        self.logger.info(f"Model initialized: {n_params} trainable parameters")
+
+    def _build_train_step(self):
+        if self._train_step is not None:
+            return
+        model, tx = self.model, self.tx
+        constants = self.constants
+
+        def step(params, opt_state, batch, rng):
+            def loss_fn(p):
+                variables = {"params": p}
+                if constants:
+                    variables["constants"] = constants
+                loss, per_row = model.apply(variables, batch, train=True,
+                                            rngs={"dropout": rng})
+                return loss, per_row
+
+            (loss, per_row), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            # NaN guard (trainer.py:164-168): skip the update when loss is NaN
+            is_finite = jnp.isfinite(loss)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            params_out = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(is_finite, new, old), new_params, params)
+            opt_out = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(is_finite, new, old) if new.shape == old.shape else new,
+                new_opt_state, opt_state)
+            return params_out, opt_out, loss
+
+        self._train_step = jax.jit(step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------- fit
+    def fit(self, train_data, valid_data=None, save_model: bool = True,
+            load_pretrained_model: bool = False, model_file: Optional[str] = None,
+            verbose: int = 1) -> Optional[Dict[str, float]]:
+        logger = self.logger
+        first_batch = next(iter(train_data))
+        self.init_params(first_batch)
+        if load_pretrained_model:
+            if model_file is None:
+                raise ValueError("`model_file` required with load_pretrained_model")
+            self.load_model(model_file)
+        self._build_train_step()
+
+        for epoch_idx in range(self.cur_epoch, self.epochs):
+            if valid_data is not None and (epoch_idx + 1) % self.eval_step == 0:
+                t0 = time.time()
+                valid_result = self.evaluate(valid_data, load_best_model=False)
+                valid_score = valid_result[self.key_metric]
+                self.best_valid_score, self.cur_step, stop_flag, update_flag = \
+                    early_stopping(valid_score, self.best_valid_score, self.cur_step,
+                                   max_step=self.early_stop,
+                                   bigger=self.valid_metric_bigger)
+                logger.info("epoch %d evaluating [time: %.2fs, %s: %f]",
+                            epoch_idx, time.time() - t0, self.key_metric, valid_score)
+                if verbose > 1:
+                    logger.info("complete scores on valid set:\n%s", dict2str(valid_result))
+                if update_flag:
+                    if save_model:
+                        self.save_model(self.saved_model_file, epoch_idx, valid_result)
+                    self.best_valid_result = valid_result
+                else:
+                    logger.info("No better score. Patience: %d / %d",
+                                self.cur_step, self.early_stop)
+                if stop_flag:
+                    logger.info("Finished training, best eval result in epoch %d",
+                                epoch_idx - self.cur_step * self.eval_step)
+                    break
+                if self.scheduler is not None and epoch_idx > 0:
+                    lr = get_learning_rate(self.opt_state)
+                    new_lr = self.scheduler.step(valid_score, lr)
+                    if new_lr != lr:
+                        self.opt_state = set_learning_rate(self.opt_state, new_lr)
+                        logger.info("epoch %d: learning rate -> %g", epoch_idx, new_lr)
+
+            t0 = time.time()
+            total_loss, n_steps = 0.0, 0
+            for batch in train_data:
+                dev_batch = self.mesh.shard_batch(batch)
+                rng = jax.random.fold_in(self._rng, self._global_step)
+                if self.objective_controller is not None:
+                    loss = self._morec_step(dev_batch, rng)
+                else:
+                    self.params, self.opt_state, loss = self._train_step(
+                        self.params, self.opt_state, dev_batch, rng)
+                self._global_step += 1
+                n_steps += 1
+                total_loss += float(loss)
+            logger.info("epoch %d training [time: %.2fs, train loss: %.4f]",
+                        epoch_idx + 1, time.time() - t0, total_loss)
+        self.cur_epoch = self.epochs
+        return self.best_valid_result
+
+    # -------------------------------------------------------------- evaluate
+    def evaluate(self, eval_data, load_best_model: bool = True,
+                 model_file: Optional[str] = None, verbose: int = 0,
+                 predict_only: bool = False):
+        if eval_data is None:
+            return None
+        if load_best_model:
+            self.load_model(model_file or self.saved_model_file)
+        protocol = getattr(self, "_eval_protocol", None) or \
+            eval_data.config.get("eval_protocol")
+        if predict_only:
+            return self.evaluator.predict_scores(eval_data, self.params, self.constants)
+        if protocol == EvalProtocol.ONE_VS_ALL.value:
+            if self.user_history is None:
+                raise ValueError("user_history must be set for one_vs_all evaluation")
+            return self.evaluator.evaluate_full(eval_data, self.params,
+                                                self.user_history, self.constants)
+        return self.evaluator.evaluate(eval_data, self.params, self.constants)
+
+    # ------------------------------------------------------------ checkpoint
+    def save_model(self, filename: str, cur_epoch: int = -1,
+                   valid_result: Optional[dict] = None):
+        ckpt_util.save_checkpoint(filename, {
+            "config": self.config,
+            "cur_epoch": cur_epoch,
+            "cur_step": self.cur_step,
+            "best_valid_score": valid_result,
+            "params": self.params,
+            "constants": self.constants,
+            "opt_state": self.opt_state,
+        })
+        self.logger.info("Saved best model at epoch %d to %s", cur_epoch, filename)
+
+    def load_model(self, filename: str, restore_optimizer: bool = False):
+        ckpt = ckpt_util.load_checkpoint(filename)
+        loaded = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
+        if self.params is None:
+            self.params = loaded
+            self.constants = ckpt.get("constants")
+            self.opt_state = self.tx.init(self.params)
+        else:
+            # non-strict merge (trainer.py:378 load_state_dict(strict=False))
+            self.params = _merge_trees(self.params, loaded)
+        if restore_optimizer and ckpt.get("opt_state") is not None:
+            try:
+                self.opt_state = jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"])
+            except Exception:  # structure changed; keep fresh optimizer
+                pass
+        self.logger.info("Loaded model from %s (epoch %s)", filename,
+                         ckpt.get("cur_epoch"))
+
+    # ----------------------------------------------------------------- MoRec
+    def _morec_step(self, batch, rng):
+        from unirec_tpu.facility.morec.integration import morec_train_step
+        loss, self.params, self.opt_state = morec_train_step(
+            self, batch, rng)
+        return loss
+
+
+def _merge_trees(base, update):
+    """Copy leaves from `update` into `base` where paths+shapes match."""
+    import flax
+    flat_base = flax.traverse_util.flatten_dict(flax.core.unfreeze(base))
+    flat_up = flax.traverse_util.flatten_dict(flax.core.unfreeze(update))
+    for k, v in flat_up.items():
+        if k in flat_base and flat_base[k].shape == v.shape:
+            flat_base[k] = jnp.asarray(v)
+    return flax.traverse_util.unflatten_dict(flat_base)

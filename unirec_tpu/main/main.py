@@ -1,0 +1,205 @@
+"""Config-driven train/test/infer entry point.
+
+TPU-native counterpart of the reference's ``unirec/main/main.py:247-509``:
+one ``run(args)`` merges config layers, builds datasets/batchers, constructs
+the model by registry name, dispatches to Trainer (SGD models) or Solver
+(closed-form models), runs the requested task, and persists results.
+
+The Accelerate/NCCL process-group setup (reference main.py:451-463) is
+replaced by one jax.sharding.Mesh; multi-host runs call
+``jax.distributed.initialize`` before ``run`` (see parallel docs).
+"""
+from __future__ import annotations
+
+import copy
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from unirec_tpu import config as config_mod
+from unirec_tpu.constants import DataFormat, EvalProtocol, LossType, TaskType
+from unirec_tpu.core.mesh import create_mesh
+from unirec_tpu.data import construct_item_popularity, make_eval_batcher, make_train_batcher
+from unirec_tpu.data.history import UserHistory
+from unirec_tpu.facility.solver import Solver
+from unirec_tpu.facility.trainer import Trainer
+from unirec_tpu.utils import file_io
+from unirec_tpu.utils.logger import setup_logger
+from unirec_tpu.utils.registry import get_dataset_class, get_model_class
+
+
+def need_user_history(config) -> bool:
+    """(reference main.py:206-216)"""
+    if int(config.get("n_sample_neg_train", 0) or 0) > 0:
+        return True
+    if config.get("test_protocol") == EvalProtocol.ONE_VS_ALL.value:
+        return True
+    if config.get("valid_protocol") == EvalProtocol.ONE_VS_ALL.value:
+        return True
+    if int(config.get("enable_morec", 0) or 0) > 0:
+        return True
+    return False
+
+
+def load_user_history(config) -> Optional[UserHistory]:
+    path = config["dataset_path"]
+    fname = config.get("user_history_filename", "train")
+    fmt = config.get("user_history_file_format", config.get("train_file_format"))
+    df = file_io.load_table(os.path.join(path, fname))
+    return UserHistory.from_dataframe(
+        df, int(config["n_users"]), fmt,
+        capacity=int(config.get("user_history_capacity", -1) or -1),
+        with_time=bool(config.get("time_seq", 0)))
+
+
+def _task_config(config, task: str) -> Dict[str, Any]:
+    c = copy.deepcopy(config)
+    c["data_loader_task"] = task
+    c["data_format"] = config[f"{task}_file_format"]
+    c["eval_protocol"] = config.get(f"{task}_protocol")
+    if c["eval_protocol"] == EvalProtocol.ONE_VS_ALL.value:
+        c[f"n_sample_neg_{task}"] = -1
+    return c
+
+
+def _load_features(config) -> Optional[np.ndarray]:
+    if not config.get("use_features"):
+        return None
+    import ast
+    shape = config.get("features_shape", [])
+    if isinstance(shape, str):
+        shape = ast.literal_eval(shape)
+    return file_io.load_features(config["features_filepath"],
+                                 int(config["n_items"]), len(shape))
+
+
+def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
+    config = config_mod.parse_arguments(args)
+    task = config.get("task", TaskType.TRAIN.value)
+    exp_name = config.get("exp_name") or f"{config['model']}-{config.get('dataset','data')}"
+    config["exp_name"] = exp_name
+    out_path = config.get("output_path") or os.path.join(".", "output", exp_name)
+    config["output_path"] = out_path
+    os.makedirs(out_path, exist_ok=True)
+    logger = setup_logger(exp_name, out_path, config.get("state", "INFO"))
+    logger.info("task=%s model=%s dataset=%s", task, config["model"],
+                config.get("dataset"))
+
+    np.random.seed(int(config.get("seed", 2022)))
+
+    mesh = create_mesh(config)
+    logger.info("mesh: data=%d model=%d", mesh.n_data, mesh.n_model)
+
+    ds_cls = get_dataset_class(config.get("dataloader", "BaseDataset"))
+    dpath = config["dataset_path"]
+    train_name = config.get("data_train_name", "train")
+    valid_name = config.get("data_valid_name", "valid")
+    test_name = config.get("data_test_name", "test")
+
+    history = load_user_history(config) if need_user_history(config) else None
+    item_pop = None
+    if float(config.get("neg_by_pop_alpha", 0) or 0) > 0 or "pop-kl" in str(config.get("metrics", "")):
+        if history is not None:
+            item_pop = construct_item_popularity(history, int(config["n_items"]))
+    features = _load_features(config)
+
+    # ----------------------------------------------------------------- model
+    model_cls = get_model_class(config["model"])
+    if features is not None:
+        config["_item2features"] = features
+    if config.get("use_text_emb") and config.get("text_emb_path"):
+        config["_text_emb"] = _padded_emb(file_io.load_pre_item_emb(config["text_emb_path"]))
+    if config.get("use_pre_item_emb") and config.get("item_emb_path"):
+        config["_pre_item_emb"] = _padded_emb(file_io.load_pre_item_emb(config["item_emb_path"]))
+    model = model_cls(cfg=config) if _is_flax(model_cls) else model_cls(config)
+    sgd = getattr(model, "optimized_by_sgd", True)
+
+    driver = (Trainer if sgd else Solver)(config, model, mesh)
+    if history is not None:
+        driver.set_user_history(history)
+
+    # ------------------------------------------------------------- batchers
+    def build_eval(task_name, file_name):
+        tcfg = _task_config(config, task_name)
+        ds = ds_cls(tcfg, dpath, file_name)
+        tcfg["eval_protocol"] = tcfg.get("eval_protocol")
+        return make_eval_batcher(ds, tcfg, history, task=task_name,
+                                 item_popularity=item_pop, features=features), tcfg
+
+    result = None
+    if task == TaskType.TRAIN.value:
+        tcfg = _task_config(config, "train")
+        train_ds = ds_cls(tcfg, dpath, train_name)
+        valid_batcher, vcfg = (None, None)
+        if os.path.exists(os.path.join(dpath, valid_name + ".pkl")) or \
+                _exists_any(dpath, valid_name):
+            valid_batcher, vcfg = build_eval("valid", valid_name)
+            driver.reset_evaluator(vcfg["data_format"], vcfg["eval_protocol"])
+        if sgd:
+            if int(config.get("enable_morec", 0) or 0) > 0:
+                from unirec_tpu.facility.morec import attach_morec
+                attach_morec(driver, config, train_ds, history, features)
+            train_batcher = make_train_batcher(train_ds, tcfg, history,
+                                               item_popularity=item_pop,
+                                               features=features)
+            driver.fit(train_batcher, valid_batcher,
+                       load_pretrained_model=bool(config.get("load_pretrained_model")),
+                       model_file=config.get("model_file"),
+                       verbose=int(config.get("verbose", 1)))
+        else:
+            graph = train_ds.get_graph()
+            driver.fit(graph, valid_batcher)
+
+        if _exists_any(dpath, test_name):
+            test_batcher, scfg = build_eval("test", test_name)
+            driver.reset_evaluator(scfg["data_format"], scfg["eval_protocol"])
+            result = driver.evaluate(test_batcher,
+                                     load_best_model=sgd and valid_batcher is not None)
+            logger.info("test result: %s", result)
+    elif task == TaskType.TEST.value:
+        if sgd and config.get("model_file"):
+            driver.load_model(config["model_file"])
+        elif not sgd and config.get("model_file"):
+            driver.load_model(config["model_file"])
+        test_batcher, scfg = build_eval("test", test_name)
+        driver.reset_evaluator(scfg["data_format"], scfg["eval_protocol"])
+        result = driver.evaluate(test_batcher, load_best_model=False)
+        logger.info("test result: %s", result)
+    elif task == TaskType.INFER.value:
+        if config.get("model_file"):
+            driver.load_model(config["model_file"])
+        test_batcher, scfg = build_eval("test", test_name)
+        driver.reset_evaluator(scfg["data_format"],
+                               scfg["eval_protocol"] or EvalProtocol.ONE_VS_K.value)
+        scores = driver.evaluate(test_batcher, load_best_model=False, predict_only=True)
+        out_file = os.path.join(out_path, f"{exp_name}.infer.txt")
+        np.savetxt(out_file, np.asarray(scores).reshape(len(scores), -1), fmt="%.6f")
+        logger.info("wrote inference scores to %s", out_file)
+        return None
+    else:
+        raise ValueError(f"unknown task: {task}")
+
+    if result is not None:
+        res_file = os.path.join(out_path, f"{exp_name}.result.tsv")
+        with open(res_file, "w") as f:
+            f.write("\t".join(result.keys()) + "\n")
+            f.write("\t".join(f"{v:.6f}" for v in result.values()) + "\n")
+    return result
+
+
+def _is_flax(cls) -> bool:
+    from flax import linen as nn
+    return issubclass(cls, nn.Module)
+
+
+def _exists_any(path, prefix) -> bool:
+    return any(os.path.exists(os.path.join(path, prefix + ext))
+               for ext in (".ftr", ".pkl", ".tsv", ".csv", ".txt"))
+
+
+def _padded_emb(emb: np.ndarray) -> np.ndarray:
+    """Prepend the zero row for padding item 0 (reco_abc.py:193-195)."""
+    return np.concatenate([np.zeros((1, emb.shape[1]), emb.dtype), emb], axis=0)

@@ -1,0 +1,251 @@
+"""Closed-form / iterative "solver" CF models: EASE, SLIM, AdmmSLIM, SAR, UserCF.
+
+The reference solves these on CPU with numpy/scipy/sklearn
+(unirec/model/cf/{ease,slim,admmslim,sar,usercf}.py). Here the dense linear
+algebra (n_items² Gram matrices, matrix inverse, ADMM iterations, batched
+coordinate descent) runs as jit'd XLA programs on device; only the sparse
+graph construction stays on host.
+
+These models are not flax Modules — they hold their solved similarity
+matrices directly — but expose the same apply-protocol surface the
+evaluators consume (``user_emb`` / ``all_item_emb`` / ``predict`` /
+``bias_terms``), so every evaluation path is shared with SGD models.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as ssp
+
+from unirec_tpu.constants import EdgeNormType
+from unirec_tpu.utils.registry import register_model
+
+
+class SolverRecommender:
+    """Base for non-SGD models (reference ease.py:38-41 sets
+    __optimized_by_SGD__ = False)."""
+
+    optimized_by_sgd = False
+    is_seqrec = False
+
+    def __init__(self, cfg: Dict[str, Any]):
+        self.cfg = cfg
+        self.n_users = int(cfg["n_users"])
+        self.n_items = int(cfg["n_items"])
+        self.item_similarity: Optional[np.ndarray] = None   # [N, N]
+        self.user_item: Optional[ssp.csr_matrix] = None     # [U, N] csr
+
+    # ------------------------------------------------------------- protocol
+    def solve(self, graph: ssp.csr_matrix):
+        raise NotImplementedError
+
+    def _user_rows(self, user_ids: np.ndarray) -> jnp.ndarray:
+        """Binary history rows [B, n_items] as dense device array."""
+        rows = self.user_item[np.asarray(user_ids)].toarray().astype(np.float32)
+        return jnp.asarray(rows)
+
+    # flax-like apply so evaluators share one code path
+    def apply(self, variables, batch=None, train: bool = False, method=None,
+              rngs=None):
+        name = method if isinstance(method, str) else getattr(method, "__name__", "__call__")
+        if name == "all_item_emb":
+            return jnp.asarray(self.item_similarity.T)
+        if name == "user_emb":
+            return self._user_rows(np.asarray(batch["user_id"]))
+        if name == "bias_terms":
+            return (None, None)
+        if name == "predict":
+            user = self._user_rows(np.asarray(batch["user_id"]))  # [B, N]
+            items = np.asarray(batch["item_id"])
+            sim = jnp.asarray(self.item_similarity)
+            if items.ndim == 2:
+                item_sim = sim[:, items]                     # [N, B, G]
+                return jnp.einsum("bn,nbg->bg", user, item_sim)
+            item_sim = sim[:, items]                         # [N, B]
+            return jnp.einsum("bn,nb->b", user, item_sim)
+        raise ValueError(f"unsupported method {name}")
+
+    # ----------------------------------------------------------- state dict
+    def state_dict(self):
+        return {"item_similarity": self.item_similarity, "user_item": self.user_item}
+
+    def load_state_dict(self, state):
+        for k, v in state.items():
+            setattr(self, k, v)
+
+
+def _edge_normalized(graph: ssp.csr_matrix, edge_norm: str) -> ssp.csr_matrix:
+    """sqrt-degree edge normalization (sar.py:20-33)."""
+    if edge_norm == EdgeNormType.NONE.value:
+        return graph.astype(np.float32)
+    user_deg = np.squeeze(np.asarray(graph.sum(1)))
+    item_deg = np.squeeze(np.asarray(graph.sum(0)))
+    w = np.ones_like(graph.data, dtype=np.float64) / item_deg[graph.indices]
+    reps = np.diff(graph.indptr)
+    w = np.sqrt(w / np.repeat(np.maximum(user_deg, 1e-12), reps) + 1e-8)
+    return ssp.csr_matrix((w.astype(np.float32), graph.indices, graph.indptr),
+                          shape=graph.shape)
+
+
+@register_model("EASE")
+class EASE(SolverRecommender):
+    """Closed form B = P / (-diag P), P = (RᵀR + λI)⁻¹ (ease.py:54-68), as a
+    single device program (Gram matmul on the MXU + LU inverse)."""
+
+    def solve(self, graph: ssp.csr_matrix):
+        R = jnp.asarray(graph.toarray().astype(np.float32))
+        l2 = float(self.cfg.get("l2_coef", 200))
+
+        @jax.jit
+        def _solve(R):
+            G = R.T @ R + l2 * jnp.eye(R.shape[1], dtype=R.dtype)
+            P = jnp.linalg.inv(G)
+            B = P / (-jnp.diag(P))[None, :]
+            return B - jnp.diag(jnp.diag(B))
+        self.item_similarity = np.asarray(_solve(R))
+        self.user_item = graph.tocsr()
+
+
+@register_model("AdmmSLIM")
+class AdmmSLIM(SolverRecommender):
+    """ADMM iterations with soft-thresholding + positivity
+    (admmslim.py:23-61), all on device via lax.fori_loop."""
+
+    def solve(self, graph: ssp.csr_matrix):
+        cfg = self.cfg
+        rho = float(cfg.get("admm_penalty", 4000.0))
+        l1 = float(cfg.get("l1_coef", 3.0))
+        l2 = float(cfg.get("l2_coef", 400.0)) * 2.0
+        alpha = float(cfg.get("item_spec_reg", 0.5))
+        n_iter = int(cfg.get("epochs", 100))
+        X = jnp.asarray(graph.toarray().astype(np.float32))
+
+        @jax.jit
+        def _solve(X):
+            item_means = X.mean(axis=0)
+            XtX = X.T @ X
+            delta = l2 * jnp.diag(jnp.power(item_means, alpha)) + \
+                rho * jnp.eye(X.shape[1], dtype=X.dtype)
+            P = jnp.linalg.inv(XtX + delta)
+            B_aux = P @ XtX
+
+            def body(_, carry):
+                C, Gamma = carry
+                B_tilde = B_aux + P @ (rho * C - Gamma)
+                gamma = jnp.diag(B_tilde) / (jnp.diag(P) + 1e-7)
+                B = B_tilde - P * gamma[None, :]
+                T = B + Gamma / rho
+                thr = l1 / rho
+                C = jnp.sign(T) * jnp.maximum(jnp.abs(T) - thr, 0.0)
+                C = jnp.maximum(C, 0.0)
+                Gamma = Gamma + rho * (B - C)
+                return C, Gamma
+
+            C0 = jnp.zeros_like(XtX)
+            C, _ = jax.lax.fori_loop(0, n_iter, body, (C0, jnp.zeros_like(XtX)))
+            return C
+
+        self.item_similarity = np.asarray(_solve(X))
+        self.user_item = graph.tocsr()
+
+
+@register_model("SLIM")
+class SLIM(SolverRecommender):
+    """SLIM: per-column positive ElasticNet. The reference loops n_items
+    sklearn fits (slim.py:22-66); here one device program runs cyclic
+    coordinate descent for *all* columns simultaneously — each coordinate
+    update is a rank-1 row update of the [N, N] weight matrix, vectorized
+    over target columns.
+
+    Objective per column c (sklearn ElasticNet with alpha=2*l2+l1,
+    l1_ratio=l1/alpha, positive=True, X[:,c] zeroed during its own fit):
+        1/(2n)||a_c − X w||² + l1‖w‖₁ + l2‖w‖²,  w ≥ 0, w_cc = 0.
+    """
+
+    def solve(self, graph: ssp.csr_matrix):
+        cfg = self.cfg
+        l1 = float(cfg.get("l1_coef", 0.004))
+        l2 = float(cfg.get("l2_coef", 0.098))
+        sweeps = min(int(cfg.get("epochs", 100)), int(cfg.get("slim_max_sweeps", 30)))
+        X = jnp.asarray(graph.toarray().astype(np.float32))
+        n = float(graph.shape[0])
+
+        @jax.jit
+        def _solve(X):
+            G = X.T @ X                       # [N, N] Gram
+            N = G.shape[0]
+            diag = jnp.diag(G)
+            denom = diag + 2.0 * n * l2
+            thr = n * l1
+
+            def coord(j, W):
+                # residual correlation for coordinate j against every target c
+                r_j = G[j] @ W - diag[j] * W[j]          # [N]
+                w_new = jnp.maximum(G[j] - r_j - thr, 0.0) / denom[j]
+                w_new = w_new.at[j].set(0.0)             # diag constraint
+                return W.at[j].set(w_new)
+
+            def sweep(_, W):
+                return jax.lax.fori_loop(0, N, coord, W)
+
+            return jax.lax.fori_loop(0, sweeps, sweep, jnp.zeros_like(G))
+
+        self.item_similarity = np.asarray(_solve(X))
+        self.user_item = graph.tocsr()
+
+
+@register_model("SAR")
+class SAR(SolverRecommender):
+    """Normalized co-occurrence item-item similarity AᵀA with zero diagonal
+    (sar.py:14-38). Kept sparse on host for the normalization, densified for
+    the device scoring path."""
+
+    def solve(self, graph: ssp.csr_matrix):
+        A = _edge_normalized(graph.tocsr(), self.cfg.get("edge_norm", "sqrt_degree"))
+        A2 = (A.T @ A).tolil()
+        A2.setdiag(0)
+        self.item_similarity = np.asarray(A2.todense(), dtype=np.float32)
+        self.user_item = graph.tocsr()
+
+
+@register_model("UserCF")
+class UserCF(SolverRecommender):
+    """User-user similarity AAᵀ (usercf.py:31-55): scores(u, i) =
+    Σ_v sim(u,v)·R(v,i). The evaluator-facing "user embedding" is the user's
+    similarity row and the "item embedding" matrix is Rᵀ."""
+
+    def solve(self, graph: ssp.csr_matrix):
+        A = _edge_normalized(graph.tocsr(), self.cfg.get("edge_norm", "sqrt_degree"))
+        S = (A @ A.T).tolil()
+        S.setdiag(0)
+        self.user_similarity = S.tocsr()
+        self.user_item = graph.tocsr()
+        # expose the scoring decomposition through the shared protocol
+        self.item_similarity = None
+
+    def apply(self, variables, batch=None, train: bool = False, method=None,
+              rngs=None):
+        name = method if isinstance(method, str) else getattr(method, "__name__", "__call__")
+        if name == "all_item_emb":
+            return jnp.asarray(self.user_item.T.toarray().astype(np.float32))
+        if name == "user_emb":
+            rows = self.user_similarity[np.asarray(batch["user_id"])].toarray()
+            return jnp.asarray(rows.astype(np.float32))
+        if name == "bias_terms":
+            return (None, None)
+        if name == "predict":
+            sim = self.apply(variables, batch, method="user_emb")      # [B, U]
+            items = np.asarray(batch["item_id"])
+            R = self.user_item
+            if items.ndim == 2:
+                cols = np.stack([R[:, items[b]].toarray().T for b in range(items.shape[0])])
+                return jnp.einsum("bu,bgu->bg", sim, jnp.asarray(cols.astype(np.float32)))
+            cols = R[:, items].toarray().T                              # [B, U]
+            return jnp.einsum("bu,bu->b", sim, jnp.asarray(cols.astype(np.float32)))
+        raise ValueError(f"unsupported method {name}")
+
+    def state_dict(self):
+        return {"user_similarity": self.user_similarity, "user_item": self.user_item}
