@@ -67,6 +67,36 @@ class MeshContext:
         sh = self.replicated()
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
+    # ------------------------------------------------------------------
+    def param_shardings(self, params, min_rows: int = 1024,
+                        shard_embeddings: bool = True):
+        """Sharding tree for a param pytree: embedding tables with enough
+        rows are row-sharded over 'model' (the EP-shaped strategy from
+        SURVEY.md §2.9 — the reference replicates all tables,
+        reco_abc.py:167-170); everything else is replicated. XLA/GSPMD
+        inserts the ID all-to-all + gather collectives from these
+        annotations."""
+        repl = self.replicated()
+        row = self.row_sharded()
+        n_model = self.n_model
+
+        def rule(path, x):
+            if not shard_embeddings or n_model <= 1:
+                return repl
+            names = "/".join(str(getattr(p, "key", getattr(p, "name", p)))
+                             for p in path).lower()
+            if (getattr(x, "ndim", 0) == 2 and "embedding" in names
+                    and x.shape[0] >= min_rows and x.shape[0] % n_model == 0):
+                return row
+            return repl
+
+        return jax.tree_util.tree_map_with_path(rule, params)
+
+    def shard_params(self, params, min_rows: int = 1024,
+                     shard_embeddings: bool = True):
+        sh = self.param_shardings(params, min_rows, shard_embeddings)
+        return jax.tree_util.tree_map(jax.device_put, params, sh)
+
 
 def create_mesh(config: Optional[Dict[str, Any]] = None,
                 devices: Optional[Sequence[jax.Device]] = None,
