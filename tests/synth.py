@@ -81,6 +81,58 @@ def generate(root: str, n_users: int = N_USERS, n_items: int = N_ITEMS,
     pd.DataFrame(sess_rows, columns=["user_id", "item_id", "label", "session_id"]) \
         .to_pickle(os.path.join(root, "test_session.pkl"))
 
+    # ------------------------------------------------------------- rank data
+    # T4 (user-item_group-label_group): per user a group of 6 candidates,
+    # positive first (matches the reference ranker preprocessing,
+    # specific_datasets/ranker.py:188-196)
+    rng3 = np.random.default_rng(SEED + 2)
+    t4 = {"train": [], "valid": [], "test": []}
+    for u, s in seqs.items():
+        c = (u - 1) % N_CLUSTERS
+        other = np.concatenate([cluster_items[(c + k) % N_CLUSTERS]
+                                for k in range(1, N_CLUSTERS)])
+        for split, pos in (("train", s[:-2]), ("valid", s[-2:-1]), ("test", s[-1:])):
+            for p in pos:
+                negs = rng3.choice(other, size=5, replace=False)
+                t4[split].append((u, np.concatenate([[p], negs]).astype(np.int64),
+                                  np.array([1.0, 0, 0, 0, 0, 0], np.float32)))
+    for split, rows in t4.items():
+        pd.DataFrame(rows, columns=["user_id", "item_id_list", "label_list"]) \
+            .to_pickle(os.path.join(root, f"rank_{split}.pkl"))
+
+    # T7 (label-index_group-value_group): libFM-style rows; feature ids are
+    # 1+user and 1+n_users+item (0 reserved for padding). Rows come in
+    # groups of 6 with the positive first, so group_size=6 folds them.
+    n_feats = 1 + n_users + n_items
+    t7 = {"train": [], "valid": [], "test": []}
+    for split, rows in t4.items():
+        for (u, items, labels) in rows:
+            for it, lab in zip(items, labels):
+                t7[split].append((float(lab),
+                                  np.array([1 + u, 1 + n_users + it], np.int64),
+                                  np.array([1.0, 1.0], np.float32)))
+    for split, rows in t7.items():
+        pd.DataFrame(rows, columns=["label", "index_list", "value_list"]) \
+            .to_pickle(os.path.join(root, f"libfm_{split}.pkl"))
+
+    # MoRec item meta: price per item, fairness group = item cluster (1-based),
+    # alignment group by popularity quintile (reference morec meta format,
+    # facility/morec/__init__.py:8-61)
+    pop = np.zeros(n_items, np.int64)
+    for s in seqs.values():
+        np.add.at(pop, s[:-2], 1)
+    rank = np.argsort(-pop[1:], kind="stable")
+    align = np.zeros(n_items, np.int64)
+    for g, bucket in enumerate(np.array_split(rank + 1, 5), start=1):
+        align[bucket] = g
+    meta = pd.DataFrame({
+        "item_id": np.arange(1, n_items),
+        "weight": np.round(rng.uniform(1.0, 50.0, size=n_items - 1), 2),
+        "fair_group": item_cluster[1:] + 1,
+        "align_group": align[1:],
+    })
+    meta.to_csv(os.path.join(root, "item_meta_morec.csv"), index=False)
+
     # frozen "text" embeddings correlated with clusters
     centers = rng.normal(size=(N_CLUSTERS, text_emb_dim))
     text = centers[item_cluster] + 0.1 * rng.normal(size=(n_items, text_emb_dim))
@@ -88,7 +140,7 @@ def generate(root: str, n_users: int = N_USERS, n_items: int = N_ITEMS,
         for i in range(1, n_items):
             f.write(f"{i}\t" + ",".join(f"{x:.5f}" for x in text[i]) + "\n")
 
-    info = {"n_users": n_users, "n_items": n_items,
+    info = {"n_users": n_users, "n_items": n_items, "n_feats": n_feats,
             "train_file_format": "user-item",
             "valid_file_format": "user-item",
             "test_file_format": "user-item",

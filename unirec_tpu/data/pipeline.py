@@ -154,20 +154,24 @@ class Batcher:
         return batch
 
 
-def make_train_batcher(dataset, config, history, item_popularity=None, features=None):
-    n_neg = int(config.get("n_sample_neg_train", 0) or 0)
-    loss_type = config.get("loss_type", "bce")
-    if loss_type == LossType.FULLSOFTMAX.value:
+def make_negative_sampler(config, history, item_popularity=None,
+                          task: str = "train"):
+    n_neg = int(config.get(f"n_sample_neg_{task}", 0) or 0)
+    if task == "train" and config.get("loss_type") == LossType.FULLSOFTMAX.value:
         n_neg = 0
-    sampler = None
-    if n_neg > 0:
-        pop = item_popularity if float(config.get("neg_by_pop_alpha", 0) or 0) > 0 else None
-        sampler = NegativeSampler(
-            config["n_items"], n_neg, user_history=history,
-            item_popularity=pop,
-            neg_by_pop_alpha=float(config.get("neg_by_pop_alpha", 1.0) or 1.0),
-            oversample_factor=int(config.get("neg_oversample_factor", 4)),
-        )
+    if n_neg <= 0:
+        return None
+    pop = item_popularity if float(config.get("neg_by_pop_alpha", 0) or 0) > 0 else None
+    return NegativeSampler(
+        config["n_items"], n_neg, user_history=history,
+        item_popularity=pop,
+        neg_by_pop_alpha=float(config.get("neg_by_pop_alpha", 1.0) or 1.0),
+        oversample_factor=int(config.get("neg_oversample_factor", 4)),
+    )
+
+
+def make_train_batcher(dataset, config, history, item_popularity=None, features=None):
+    sampler = make_negative_sampler(config, history, item_popularity, "train")
     return Batcher(dataset, config, history=history, sampler=sampler,
                    batch_size=config.get("batch_size"),
                    shuffle=bool(config.get("shuffle_train", 0)),

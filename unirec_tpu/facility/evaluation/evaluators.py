@@ -73,13 +73,27 @@ class OnePositiveEvaluator(_EvaluatorBase):
     """One positive per row; both one-vs-k (grouped scores) and one-vs-all
     (full catalog) paths."""
 
+    MOREC_PREFIXES = ("rhit", "rndcg", "rrecall", "pop-kl")
+
     def __init__(self, config, model, mesh=None):
         super().__init__(config, model, mesh)
+        # MoRec item meta (price / fairness / alignment groups) — present when
+        # main.py loaded item_meta_morec (reference evaluator_abc.py:107-118)
+        self.item_meta = config.get("_item_meta_morec")
+        self.align_dist = config.get("_alignment_dist")
+        self.morec_names = [m for m in self.metric_names
+                            if m.split("@")[0] in self.MOREC_PREFIXES
+                            or m == "least-misery"]
+        self.base_names = [m for m in self.metric_names
+                           if m not in self.morec_names and m != "auc"]
+        pop_ks = [int(m.split("@")[1]) for m in self.morec_names
+                  if m.startswith("pop-kl@")]
+        self._popkl_k = max(pop_ks) if pop_ks else 0
 
         def _group_metrics(scores, key):
             scores = M.add_tie_noise(scores, key)
             rank = M.onepos_rank_from_group(scores)
-            return M.onepos_metrics(rank, scores.shape[1], tuple(self.metric_names))
+            return M.onepos_metrics(rank, scores.shape[1], tuple(self.base_names))
 
         def _user_scores(params, constants, item_emb, batch):
             variables = self._variables(params, constants)
@@ -92,10 +106,13 @@ class OnePositiveEvaluator(_EvaluatorBase):
                 scores = scores + ub[batch["user_id"]][:, None]
             return scores / float(self.config.get("tau", 1.0))
 
-        @functools.partial(jax.jit, static_argnames=("n_items",))
-        def _ova_metrics(scores, pos, hist_items, hist_len, key, n_items):
-            rank = M.onepos_rank_full_catalog(scores, pos, hist_items, hist_len, key)
-            return M.onepos_metrics(rank, n_items, tuple(self.metric_names))
+        @functools.partial(jax.jit, static_argnames=("n_items", "topk"))
+        def _ova_metrics(scores, pos, hist_items, hist_len, key, n_items,
+                         topk):
+            rank, topk_ids = M.onepos_rank_full_catalog(
+                scores, pos, hist_items, hist_len, key, topk=topk)
+            vals = M.onepos_metrics(rank, n_items, tuple(self.base_names))
+            return vals, rank, topk_ids
 
         self._group_metrics = jax.jit(_group_metrics)
         self._user_scores_fn = jax.jit(_user_scores) if self.traceable else _user_scores
@@ -108,8 +125,14 @@ class OnePositiveEvaluator(_EvaluatorBase):
         return self.model.apply(None, method="all_item_emb")
 
     def evaluate(self, batcher, params, constants=None) -> Dict[str, float]:
-        rows: Dict[str, List[np.ndarray]] = {m: [] for m in self.metric_names}
+        group_names = [m for m in self.metric_names if m != "auc"]
+        rows: Dict[str, List[np.ndarray]] = {m: [] for m in group_names}
         weights = []
+        # 'auc' is a single global ROC-AUC over every (score, label) pair
+        # (onepos.py:136-137), computed host-side after the sweep
+        want_auc = "auc" in self.metric_names
+        auc_scores: List[np.ndarray] = []
+        auc_labels: List[np.ndarray] = []
         key = jax.random.PRNGKey(self.seed + 101)
         for i, batch in enumerate(batcher):
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -120,22 +143,37 @@ class OnePositiveEvaluator(_EvaluatorBase):
                     scores = scores.reshape(-1, g)
                 else:
                     scores = scores.reshape(len(batch["weight"]), -1)
+            if want_auc and "label" in batch:
+                keep = np.asarray(batch["weight"]) > 0
+                auc_scores.append(_np(scores).reshape(len(keep), -1)[keep])
+                auc_labels.append(np.asarray(batch["label"]).reshape(len(keep), -1)[keep])
             vals = self._group_metrics(scores, jax.random.fold_in(key, i))
             w = batch["weight"]
             if scores.shape[0] != len(w):  # per-group rows after reshape
                 w = np.repeat(w, scores.shape[0] // len(w))
-            for m in self.metric_names:
+            for m in group_names:
                 rows[m].append(_np(vals[m]))
             weights.append(w)
-        return self.merge(rows, weights)
+        out = self.merge(rows, weights)
+        if want_auc and auc_scores:
+            out["auc"] = M.roc_auc(np.concatenate(auc_labels).reshape(-1),
+                                   np.concatenate(auc_scores).reshape(-1))
+        return out
 
     def evaluate_full(self, batcher, params, history: UserHistory,
                       constants=None) -> Dict[str, float]:
         item_emb = self._item_table(params, constants)
         n_items = int(self.config["n_items"])
-        rows: Dict[str, List[np.ndarray]] = {m: [] for m in self.metric_names}
+        per_row_names = self.base_names + [m for m in self.morec_names
+                                           if not m.startswith("pop-kl")
+                                           and m != "least-misery"]
+        rows: Dict[str, List[np.ndarray]] = {m: [] for m in per_row_names}
+        group_ids: List[np.ndarray] = []   # fair group of each positive
+        popkl_counts: Dict[str, np.ndarray] = {
+            m: None for m in self.morec_names if m.startswith("pop-kl")}
         weights = []
         key = jax.random.PRNGKey(self.seed + 202)
+        meta = self.item_meta
         for i, batch in enumerate(batcher):
             hist_items, hist_len = history.gather(batch["user_id"])
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -143,13 +181,60 @@ class OnePositiveEvaluator(_EvaluatorBase):
             pos = jb["item_id"]
             if pos.ndim == 2:
                 pos = pos[:, 0]
-            vals = self._ova_metrics(scores, pos, jnp.asarray(hist_items),
-                                     jnp.asarray(hist_len),
-                                     jax.random.fold_in(key, i), n_items=n_items)
-            for m in self.metric_names:
+            vals, rank, topk_ids = self._ova_metrics(
+                scores, pos, jnp.asarray(hist_items), jnp.asarray(hist_len),
+                jax.random.fold_in(key, i), n_items=n_items,
+                topk=self._popkl_k)
+            for m in self.base_names:
                 rows[m].append(_np(vals[m]))
+            keep = batch["weight"] > 0
             weights.append(batch["weight"])
-        return self.merge(rows, weights)
+            if not self.morec_names:
+                continue
+            # ---- MoRec metrics (onepos.py:133-173), host-side tiny math
+            rank_np = _np(rank)
+            pos_np = _np(pos)
+            prices = meta["weight"][pos_np] if meta is not None and \
+                "weight" in meta else np.ones_like(pos_np, np.float64)
+            for m in self.morec_names:
+                name = m.split("@")[0]
+                if name in ("rhit", "rrecall"):
+                    k = int(m.split("@")[1])
+                    rows[m].append((rank_np < k).astype(np.float64) * prices)
+                elif name == "rndcg":
+                    k = int(m.split("@")[1])
+                    rows[m].append((rank_np < k) / np.log2(rank_np + 2.0) * prices)
+                elif name == "pop-kl":
+                    k = int(m.split("@")[1])
+                    i2g = meta["align_group"]
+                    ids = _np(topk_ids)[keep][:, :k].reshape(-1)
+                    counts = np.bincount(i2g[ids], minlength=int(i2g.max()) + 1)
+                    if popkl_counts[m] is None:
+                        popkl_counts[m] = counts.astype(np.float64)
+                    else:
+                        popkl_counts[m] += counts
+            if "least-misery" in self.morec_names and meta is not None:
+                group_ids.append(meta["fair_group"][pos_np])
+        out = self.merge(rows, weights)
+        # pop-kl@k: KL(alignment_dist ‖ topk group freq) (onepos.py:53-68)
+        for m, counts in popkl_counts.items():
+            freq = counts[1:] / max(counts[1:].sum(), 1e-10)
+            tgt = np.asarray(self.align_dist, np.float64)
+            out[m] = float(np.sum(
+                (tgt + 1e-10) * (np.log(tgt + 1e-10) - np.log(freq + 1e-10))))
+        # least-misery: min over fair groups of each per-row metric's mean
+        # (onepos.py:206-217)
+        if group_ids:
+            gid = np.concatenate(group_ids)
+            w = np.concatenate(weights) > 0
+            for m in per_row_names:
+                v = np.concatenate(rows[m])
+                vv, gg = v[w[: len(v)]], gid[w[: len(gid)]]
+                mins = [vv[gg == g].mean() for g in np.unique(gg) if g > 0
+                        and (gg == g).any()]
+                if mins:
+                    out[f"min-{m}"] = float(min(mins))
+        return out
 
     def predict_scores(self, batcher, params, constants=None) -> np.ndarray:
         """Raw score inference (predict_only path, evaluator_abc.py:175)."""

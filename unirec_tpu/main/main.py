@@ -99,11 +99,39 @@ def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
     valid_name = config.get("data_valid_name", "valid")
     test_name = config.get("data_test_name", "test")
 
-    history = load_user_history(config) if need_user_history(config) else None
+    # sequential dataloaders always need the packed history for the per-row
+    # item_seq window (reference main.py:271-276)
+    needs_history = need_user_history(config) or \
+        config.get("dataloader") in ("SeqRecDataset", "AERecDataset")
+    history = load_user_history(config) if needs_history else None
     item_pop = None
-    if float(config.get("neg_by_pop_alpha", 0) or 0) > 0 or "pop-kl" in str(config.get("metrics", "")):
+    if float(config.get("neg_by_pop_alpha", 0) or 0) > 0 \
+            or "pop-kl" in str(config.get("metrics", "")) \
+            or int(config.get("enable_morec", 0) or 0) > 0:
         if history is not None:
             item_pop = construct_item_popularity(history, int(config["n_items"]))
+
+    # MoRec item meta is needed by both the sampler and the evaluators
+    # (reference main.py:282-291)
+    if int(config.get("enable_morec", 0) or 0) > 0 or any(
+            t in str(config.get("metrics", ""))
+            for t in ("pop-kl", "least-misery", "rhit", "rndcg")):
+        from unirec_tpu.facility.morec import (load_alignment_distribution,
+                                               load_morec_meta_data)
+        meta_file = os.path.join(config["dataset_path"],
+                                 config.get("item_meta_morec_filename",
+                                            "item_meta_morec.csv"))
+        if os.path.exists(meta_file):
+            objectives = list(config.get("morec_objectives",
+                                         ["fairness", "alignment", "revenue"]))
+            item_meta = load_morec_meta_data(int(config["n_items"]), meta_file,
+                                             objectives)
+            align_file = config.get("align_dist_filename")
+            config["_item_meta_morec"] = item_meta
+            config["_alignment_dist"] = load_alignment_distribution(
+                item_meta, item_pop,
+                os.path.join(config["dataset_path"], align_file)
+                if align_file else None)
     features = _load_features(config)
 
     # ----------------------------------------------------------------- model
@@ -140,11 +168,22 @@ def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
             driver.reset_evaluator(vcfg["data_format"], vcfg["eval_protocol"])
         if sgd:
             if int(config.get("enable_morec", 0) or 0) > 0:
-                from unirec_tpu.facility.morec import attach_morec
-                attach_morec(driver, config, train_ds, history, features)
-            train_batcher = make_train_batcher(train_ds, tcfg, history,
-                                               item_popularity=item_pop,
-                                               features=features)
+                from unirec_tpu.facility.morec import build_morec
+                from unirec_tpu.data.pipeline import make_negative_sampler
+                # signal batcher: the valid split read with the *train* task
+                # config (reference main.py:168-177)
+                sig_ds = ds_cls(tcfg, dpath, valid_name)
+                signal_batcher = make_train_batcher(sig_ds, tcfg, history,
+                                                    item_popularity=item_pop,
+                                                    features=features)
+                train_batcher = build_morec(
+                    driver, tcfg, train_ds, signal_batcher, history, item_pop,
+                    features,
+                    item_sampler=make_negative_sampler(tcfg, history, item_pop))
+            else:
+                train_batcher = make_train_batcher(train_ds, tcfg, history,
+                                                   item_popularity=item_pop,
+                                                   features=features)
             driver.fit(train_batcher, valid_batcher,
                        load_pretrained_model=bool(config.get("load_pretrained_model")),
                        model_file=config.get("model_file"),

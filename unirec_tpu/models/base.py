@@ -35,6 +35,9 @@ class BaseRecommender(nn.Module):
     # annotations used for routing (reference `annotations`, seqrec_base.py:25)
     is_seqrec: bool = False
     optimized_by_sgd: bool = True
+    # FM replaces the item table with a feature table (fm.py:84 deletes
+    # item_embedding)
+    use_item_emb: bool = True
 
     # ------------------------------------------------------------- properties
     @property
@@ -75,15 +78,16 @@ class BaseRecommender(nn.Module):
             self.user_embedding = nn.Embed(self.n_users, self.emb_dim,
                                            embedding_init=padded_emb_init,
                                            name="user_embedding")
-        pre_item = c.get("_pre_item_emb")
-        if c.get("use_pre_item_emb") and pre_item is not None:
-            item_init = lambda key, shape, dtype=jnp.float32: jnp.asarray(
-                pre_item, dtype=dtype).reshape(shape)
-        else:
-            item_init = padded_emb_init
-        self.item_embedding = nn.Embed(self.n_items, self.emb_dim,
-                                       embedding_init=item_init,
-                                       name="item_embedding")
+        if self.use_item_emb:
+            pre_item = c.get("_pre_item_emb")
+            if c.get("use_pre_item_emb") and pre_item is not None:
+                item_init = lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                    pre_item, dtype=dtype).reshape(shape)
+            else:
+                item_init = padded_emb_init
+            self.item_embedding = nn.Embed(self.n_items, self.emb_dim,
+                                           embedding_init=item_init,
+                                           name="item_embedding")
 
         if c.get("has_user_bias"):
             self.user_bias = self.param("user_bias", nn.initializers.normal(0.1),

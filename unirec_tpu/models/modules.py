@@ -216,6 +216,158 @@ def causal_attention_mask(item_seq: jnp.ndarray, bidirectional: bool = False) ->
     return (1.0 - mask) * MASK_VALUE
 
 
+# ------------------------------------------------------- AdaRanker machinery
+# torch.nn.Linear default init: kaiming_uniform(a=sqrt(5)) on the weight is
+# U(±1/sqrt(fan_in)); bias is U(±1/sqrt(fan_in)) as well (modules.py:516-521).
+torch_linear_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_linear_bias_init(fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class NeuProcessEncoder(nn.Module):
+    """Neural-process set encoder producing the per-request distribution
+    vector z (modules.py:445-498): per-element MLP → mean-pool over the set →
+    reparameterized z. The reference draws the reparameterization noise
+    unconditionally; here noise is drawn from the 'dropout' rng stream during
+    training and z=mu at evaluation (deterministic serving)."""
+
+    input_size: int = 64
+    hidden_size: int = 64
+    output_size: int = 64
+    dropout_prob: float = 0.4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dense = lambda d, name: nn.Dense(d, kernel_init=torch_linear_kernel_init,
+                                         bias_init=nn.initializers.zeros, name=name)
+        h = dense(self.hidden_size, "input_hidden")(x)
+        h = nn.Dropout(self.dropout_prob, deterministic=not train)(h)
+        h = jax.nn.relu(h)
+        h = dense(self.output_size, "input_out")(h)
+        z = jnp.mean(h, axis=-2)                       # aggregate over the set
+        h2 = jax.nn.relu(dense(self.hidden_size, "z_to_hidden")(z))
+        mu = dense(self.output_size, "hidden_to_mu")(h2)
+        # log-sigma bias starts at -8 (initial std≈0.02, the embedding
+        # scale): the reference's zero-bias init gives std≈1, which makes the
+        # FiLM shift derived from z ~50x larger than the item embeddings and
+        # (for encoders without an input LayerNorm, e.g. the GRU backbone)
+        # drowns the history signal entirely; a small learnable initial std
+        # preserves the stochastic design without that failure mode
+        log_sigma = nn.Dense(self.output_size,
+                             kernel_init=torch_linear_kernel_init,
+                             bias_init=nn.initializers.constant(-8.0),
+                             name="hidden_to_logsigma")(h2)
+        if train:
+            eps = jax.random.normal(self.make_rng("dropout"), mu.shape)
+            return mu + eps * jnp.exp(0.5 * log_sigma)
+        return mu
+
+
+class MemoryUnit(nn.Module):
+    """Parameter-memory network (modules.py:592-620): K base parameter
+    blocks, combined per request by attention of z over learned keys.
+    Returns [B, out, in] parameter patches."""
+
+    input_size: int
+    output_size: int
+    emb_size: int
+    clusters_k: int = 10
+    # 'one' → patches start as identity scaling (the modulated layer behaves
+    # like its unpatched self at init, modulation is learned); 'xavier' is
+    # the reference init (modules.py:597), which multiplicatively shrinks the
+    # patched weights ~10x at init and starves them of gradient signal.
+    init_center: str = "one"
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        if self.init_center == "one":       # multiplicative (weight) patches
+            array_init = lambda key, shape, dtype=jnp.float32: \
+                1.0 + 0.05 * jax.random.normal(key, shape, dtype)
+        elif self.init_center == "zero":    # additive (bias) patches
+            array_init = nn.initializers.normal(0.05)
+        else:
+            array_init = nn.initializers.glorot_uniform()
+        array = self.param("array", array_init,
+                           (self.clusters_k, self.input_size * self.output_size))
+        index = self.param("index", nn.initializers.glorot_uniform(),
+                           (self.clusters_k, self.emb_size))
+        att = jax.nn.softmax(z @ index.T, axis=-1)            # [B, K]
+        para = att @ array                                    # [B, in*out]
+        return para.reshape(-1, self.output_size, self.input_size)
+
+
+class AdaLinear(nn.Module):
+    """Linear layer modulated by per-request parameter patches
+    (modules.py:500-589 memory_parameters path): weight_new =
+    patch ⊙ weight (elementwise, broadcast over batch), bias_new =
+    bias_patch + bias."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mem_w: Optional[jnp.ndarray] = None,
+                 mem_b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        weight = self.param("weight", torch_linear_kernel_init,
+                            (self.in_features, self.out_features))
+        bias = self.param("bias", torch_linear_bias_init(self.in_features),
+                          (self.out_features,))
+        if mem_w is None:
+            return x @ weight + bias
+        # mem_w: [B, out, in]; x: [B, ..., in]
+        w_new = mem_w.transpose(0, 2, 1) * weight[None]       # [B, in, out]
+        out = jnp.einsum("b...i,bio->b...o", x, w_new)
+        b_new = bias[None]
+        if mem_b is not None:
+            b_new = b_new + mem_b[..., 0]                     # [B, out]
+        return out + b_new[:, None, :] if out.ndim == 3 else out + b_new
+
+
+class ModulateHidden(nn.Module):
+    """Per-request generated square weight applied to the hidden state
+    (modules.py:623-641)."""
+
+    input_size: int
+    emb_size: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+        gen = nn.Dense(self.input_size * self.input_size,
+                       kernel_init=torch_linear_kernel_init,
+                       bias_init=nn.initializers.zeros, name="gen_para_layer")
+        w = gen(z).reshape(-1, self.input_size, self.input_size)
+        return jnp.einsum("b...i,boi->b...o", x, w)
+
+
+class MMoEUnit(nn.Module):
+    """Mixture-of-experts parameter generator (modules.py:700-731): softmax
+    gate over expert parameter blocks keyed on z."""
+
+    input_size: int
+    output_size: int
+    emb_size: int
+    expert_num: int = 10
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        if z.ndim == 3:
+            z = z[:, 0]
+        weight = self.param("weight", torch_linear_kernel_init,
+                            (self.expert_num, self.output_size * self.input_size))
+        gate = nn.Dense(self.expert_num, use_bias=False,
+                        kernel_init=torch_linear_kernel_init, name="gate_net")
+        att = jax.nn.softmax(gate(z), axis=-1)
+        return (att @ weight).reshape(-1, self.output_size, self.input_size)
+
+
 class AttentionMergeLayer(nn.Module):
     """Learned attention pooling over the sequence (modules.py:226-244)."""
 

@@ -59,7 +59,7 @@ def onepos_rank_from_group(scores: jnp.ndarray) -> jnp.ndarray:
 
 def onepos_rank_full_catalog(scores: jnp.ndarray, pos_items: jnp.ndarray,
                              hist_items: jnp.ndarray, hist_len: jnp.ndarray,
-                             key: jax.Array) -> jnp.ndarray:
+                             key: jax.Array, topk: int = 0):
     """Rank of the positive item against the full catalog.
 
     Reproduces evaluator_abc.py:249-265 + onepos get_rank: the target score
@@ -86,9 +86,15 @@ def onepos_rank_full_catalog(scores: jnp.ndarray, pos_items: jnp.ndarray,
 
     # exclude padding col 0 and the positive column itself
     masked = masked.at[:, 0].set(NINF_SCORE)
-    masked = masked.at[rows, pos_items].set(NINF_SCORE)
-    rank = jnp.sum(masked > pos_score[:, None], axis=-1).astype(jnp.int32)
-    return rank
+    competitors = masked.at[rows, pos_items].set(NINF_SCORE)
+    rank = jnp.sum(competitors > pos_score[:, None], axis=-1).astype(jnp.int32)
+    if topk <= 0:
+        return rank, None
+    # top-k recommendation list: positive competes with its real score
+    # (evaluator_abc.py:124-128 positive-slot trick + get_topk_index)
+    with_pos = masked.at[rows, pos_items].set(pos_score)
+    topk_ids = jax.lax.top_k(with_pos, topk)[1]
+    return rank, topk_ids
 
 
 def onepos_metrics(rank: jnp.ndarray, n_scores: int,
