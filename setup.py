@@ -8,4 +8,5 @@ setup(
     package_data={"unirec_tpu": ["config/*.yaml", "config/model/*.yaml", "config/dataset/*.yaml"]},
     python_requires=">=3.10",
     install_requires=["jax", "flax", "optax", "numpy", "pandas", "pyyaml"],
+    entry_points={"console_scripts": ["unirec-tpu = unirec_tpu.cli:main"]},
 )

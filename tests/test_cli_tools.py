@@ -1,0 +1,84 @@
+"""Tests for the serving-side CLIs: infer_embedding, reco_topk, and the
+unified cli dispatcher (mirrors the reference's infer-task and embedding
+shape tests, test_seq_model.py:264-340)."""
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from tests.synth import BASE_CONF
+from unirec_tpu.main import infer_embedding, main, reco_topk
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(synth_dataset, tmp_path_factory):
+    root, info = synth_dataset
+    out = str(tmp_path_factory.mktemp("ckpt"))
+    conf = copy.deepcopy(BASE_CONF)
+    conf.update(model="SASRec", dataloader="SeqRecDataset",
+                loss_type="fullsoftmax", n_sample_neg_train=0,
+                n_layers=1, dataset_path=root, output_path=out,
+                task="train", epochs=2, exp_name="clitest")
+    main.run(conf)
+    return root, os.path.join(out, "checkpoint", "clitest.pkl"), out
+
+
+def test_infer_embedding_user(trained_ckpt, tmp_path):
+    root, ckpt, _ = trained_ckpt
+    out_file = os.path.join(str(tmp_path), "user_emb.tsv")
+    ids, emb = infer_embedding.run({
+        "model_file": ckpt, "dataset_path": root, "node_type": "user",
+        "user_history_filename": "user_history",
+        "output_emb_file": out_file})
+    assert emb.shape == (201, 32)
+    assert os.path.exists(out_file)
+    first = open(out_file).readline().split("\t")
+    assert len(first) == 2 and len(first[1].split(",")) == 32
+
+
+def test_infer_embedding_item(trained_ckpt, tmp_path):
+    root, ckpt, _ = trained_ckpt
+    out_file = os.path.join(str(tmp_path), "item_emb.tsv")
+    ids, emb = infer_embedding.run({
+        "model_file": ckpt, "dataset_path": root, "node_type": "item",
+        "output_emb_file": out_file})
+    assert emb.shape == (301, 32)
+    # padding item 0 embeds to zeros
+    assert np.allclose(emb[0], 0.0)
+
+
+def test_reco_topk(trained_ckpt, tmp_path):
+    root, ckpt, _ = trained_ckpt
+    id_file = os.path.join(str(tmp_path), "userids.txt")
+    np.savetxt(id_file, np.arange(1, 51), fmt="%i")
+    out_file = os.path.join(str(tmp_path), "reco.csv")
+    res = reco_topk.do_topk_reco({
+        "model_file": ckpt, "dataset_path": root, "dataset_name": id_file,
+        "user_history_filename": "user_history",
+        "output_path": out_file, "topk": 10})
+    assert res.shape == (50, 10)
+    assert (res > 0).all()  # padding item never recommended
+    # recommended items are not in the user's history
+    from unirec_tpu.data.history import UserHistory
+    from unirec_tpu.utils import file_io
+    hist = UserHistory.from_dataframe(
+        file_io.load_table(os.path.join(root, "user_history")), 201,
+        "user-item_seq")
+    contained = hist.contains(np.arange(1, 51), res.astype(np.int64))
+    assert not contained.any()
+    assert os.path.exists(out_file)
+
+
+def test_cli_dispatch(trained_ckpt, tmp_path, capsys):
+    root, ckpt, out = trained_ckpt
+    from unirec_tpu import cli
+    rc = cli.main(["test", "--model", "SASRec", "--dataloader", "SeqRecDataset",
+                   "--dataset_path", root, "--model_file", ckpt,
+                   "--output_path", os.path.join(str(tmp_path), "cliout"),
+                   "--test_protocol", "one_vs_all",
+                   "--user_history_filename", "user_history",
+                   "--metrics", "['hit@5','ndcg@5']",
+                   "--exp_name", "clitest2"])
+    assert rc == 0
+    assert "hit@5" in capsys.readouterr().out

@@ -1,0 +1,52 @@
+"""Unified command-line entry point.
+
+    python -m unirec_tpu.cli train --model SASRec --dataset_path ... [flags]
+    python -m unirec_tpu.cli test  --model_file ckpt.pkl ...
+    python -m unirec_tpu.cli infer --model_file ckpt.pkl ...
+    python -m unirec_tpu.cli infer-embedding --model_file ... --node_type user
+    python -m unirec_tpu.cli reco-topk --model_file ... --topk 100
+
+Replaces the reference's three separate ``python -m unirec.main.*`` scripts
+(main.py:425, infer_embedding.py:132, reco_topk.py:172) with one dispatcher;
+every ``--key value`` flag flows through the layered config merge
+(config/__init__.py), so the full ~120-flag surface of the reference's
+argument_parser is available without a hand-maintained flag list.
+"""
+from __future__ import annotations
+
+import sys
+
+from unirec_tpu import config as config_mod
+
+COMMANDS = ("train", "test", "infer", "infer-embedding", "reco-topk")
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("commands:", ", ".join(COMMANDS))
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd not in COMMANDS:
+        raise SystemExit(f"unknown command '{cmd}'. Available: {COMMANDS}")
+
+    if cmd in ("train", "test", "infer"):
+        from unirec_tpu.main import main as main_mod
+        args = config_mod.parse_cmd_arguments(rest)
+        args["task"] = cmd
+        result = main_mod.run(args)
+        if result is not None:
+            print(result)
+        return 0
+    if cmd == "infer-embedding":
+        from unirec_tpu.main import infer_embedding
+        infer_embedding.run(config_mod.parse_cmd_arguments(rest))
+        return 0
+    from unirec_tpu.main import reco_topk
+    reco_topk.do_topk_reco(config_mod.parse_cmd_arguments(rest))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

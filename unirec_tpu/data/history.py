@@ -108,6 +108,20 @@ class UserHistory:
         lens = self.lengths[uid] * valid
         return rows, lens
 
+    def window(self, user_ids: np.ndarray, max_seq_len: int,
+               drop_last: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        """Left-padded history windows for inference (inferdataset.py:44-67):
+        optionally drop the trailing ``drop_last`` items (the reference's
+        ``last_item`` offset), then right-align the last ``max_seq_len``."""
+        rows, lens = self.gather(user_ids)
+        n = np.maximum(lens.astype(np.int64) - int(drop_last), 0)
+        L = max_seq_len
+        grid = n[:, None] - L + np.arange(L)[None, :]
+        valid = grid >= 0
+        gi = np.clip(grid, 0, max(rows.shape[1] - 1, 0))
+        seq = np.take_along_axis(rows, gi, axis=1) * valid
+        return seq.astype(np.int32), np.minimum(n, L).astype(np.int32)
+
     def sequence_batch(
         self,
         user_ids: np.ndarray,

@@ -79,6 +79,23 @@ def _load_features(config) -> Optional[np.ndarray]:
 def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
     config = config_mod.parse_arguments(args)
     task = config.get("task", TaskType.TRAIN.value)
+    # test/infer from a checkpoint: the ckpt-embedded config defines the
+    # model architecture; caller args are re-applied on top
+    # (reference main.py:304-306,332-334)
+    if config.get("model_file") and (
+            task in (TaskType.TEST.value, TaskType.INFER.value)
+            or config.get("load_pretrained_model")):
+        try:
+            from unirec_tpu.utils.checkpoint import load_checkpoint
+            ckpt_cfg = load_checkpoint(config["model_file"]).get("config")
+        except (FileNotFoundError, KeyError):
+            ckpt_cfg = None
+        if ckpt_cfg:
+            base = dict(ckpt_cfg)
+            base.update({k: v for k, v in args.items()})
+            base.update(config.get("cmd_args", {}))
+            base["task"] = task
+            config = base
     exp_name = config.get("exp_name") or f"{config['model']}-{config.get('dataset','data')}"
     config["exp_name"] = exp_name
     out_path = config.get("output_path") or os.path.join(".", "output", exp_name)

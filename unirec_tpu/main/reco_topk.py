@@ -1,0 +1,153 @@
+"""Batch top-k recommendation CLI.
+
+TPU-native counterpart of the reference unirec/main/reco_topk.py:22-187. The
+reference computes ``user_emb @ item_emb.T`` in CPU numpy and ranks with an
+argpartition helper (reco_topk.py:56,87); here one jitted program per batch
+does the full-catalog matmul on the MXU, masks user histories to -inf
+(keeping the ``last_item`` target competitive), and takes ``jax.lax.top_k``
+on device — only the [B, topk] id matrix returns to host.
+
+Two modes, matching the reference:
+  - default: write ``topk`` item ids per user as csv rows (reco_topk.py:141-143)
+  - ``item_file``: write per-(user, item) scores with a binary label marking
+    the held-out target (reco_topk.py:42-76)
+"""
+from __future__ import annotations
+
+import os
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from unirec_tpu import config as config_mod
+from unirec_tpu.data.history import UserHistory
+from unirec_tpu.main.infer_embedding import iter_infer_batches
+from unirec_tpu.utils import file_io
+from unirec_tpu.utils.checkpoint import load_model_freely
+from unirec_tpu.utils.logger import setup_logger
+
+
+def get_topk_recommendations(config, model, params, constants,
+                             user_ids: np.ndarray, history: UserHistory,
+                             topk: int) -> np.ndarray:
+    """[n_users, topk] recommended item ids."""
+    def variables(p):
+        v = {"params": p}
+        if constants:
+            v["constants"] = constants
+        return v
+
+    traceable = hasattr(model, "init")
+    last_item = int(config.get("last_item", 0))
+    tau = float(config.get("tau", 1.0))
+
+    def scores_fn(p, batch, item_emb):
+        user_emb = model.apply(variables(p), batch, method="user_emb")
+        scores = user_emb @ item_emb.T
+        ub, ib = model.apply(variables(p), method="bias_terms")
+        if ib is not None:
+            scores = scores + ib[None, :]
+        if ub is not None:
+            scores = scores + ub[batch["user_id"]][:, None]
+        return scores / tau
+
+    def topk_fn(p, batch, item_emb, hist_items, hist_len, target):
+        scores = scores_fn(p, batch, item_emb)
+        B = scores.shape[0]
+        rows = jnp.arange(B)
+        target_score = scores[rows, target]
+        cap = hist_items.shape[1]
+        valid_h = jnp.arange(cap)[None, :] < hist_len[:, None]
+        hcols = jnp.where(valid_h, hist_items, 0)
+        masked = scores.at[rows[:, None], hcols].set(-jnp.inf)
+        masked = masked.at[:, 0].set(-jnp.inf)
+        if last_item > 0:  # held-out target stays competitive (reco_topk.py:81-85)
+            masked = masked.at[rows, target].set(target_score)
+        return jax.lax.top_k(masked, topk)[1]
+
+    if traceable:
+        topk_fn = jax.jit(topk_fn)
+        scores_fn_j = jax.jit(scores_fn)
+    else:
+        scores_fn_j = scores_fn
+
+    item_emb = model.apply(variables(params), method="all_item_emb")
+
+    item_file = config.get("item_file") or ""
+    out_rows = []
+    score_lines = []
+    user2items = {}
+    if item_file:
+        with open(item_file) as f:
+            for line in f:
+                u, items = line.strip().split("\t")
+                user2items[int(u)] = [int(t) for t in items.split(",")]
+
+    is_seqrec = bool(getattr(model, "is_seqrec", False))
+    for batch in iter_infer_batches(config, user_ids, history, is_seqrec):
+        n_real = batch.pop("n_real")
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        uids = batch["user_id"][:n_real]
+        hist_items, hist_len = history.gather(batch["user_id"])
+        if last_item > 0:
+            target = hist_items[np.arange(len(hist_len)),
+                                np.maximum(hist_len - last_item, 0)]
+        else:
+            target = np.zeros(len(hist_len), np.int32)
+        if item_file:
+            scores = np.asarray(scores_fn_j(params, jb, item_emb))[:n_real]
+            for i, u in enumerate(uids):
+                for it in user2items.get(int(u), []):
+                    label = "1" if it == int(target[i]) else "0"
+                    s = scores[i][it] if it > 0 else 0.0
+                    score_lines.append(f"{int(u)}\t{it}\t{s}\t{label}\n")
+        else:
+            ids = np.asarray(topk_fn(params, jb, item_emb,
+                                     jnp.asarray(hist_items),
+                                     jnp.asarray(hist_len),
+                                     jnp.asarray(target)))[:n_real]
+            out_rows.append(ids)
+
+    if item_file:
+        return score_lines
+    return np.concatenate(out_rows, axis=0)
+
+
+def do_topk_reco(config: Dict) -> np.ndarray:
+    out_path = config.get("output_path", "topk_reco.csv")
+    logger = setup_logger(config.get("exp_name", "reco_topk"),
+                          os.path.dirname(os.path.abspath(out_path)))
+    model, params, constants, ckpt_cfg = load_model_freely(config["model_file"])
+    merged = dict(ckpt_cfg)
+    merged.update(config)
+    config = merged
+
+    dpath = config["dataset_path"]
+    user_ids = np.loadtxt(os.path.join(dpath, config["dataset_name"]),
+                          dtype=np.int64).reshape(-1)
+    logger.info("#. users for recommendations: %d", len(user_ids))
+
+    fname = config.get("user_history_filename", "user_history")
+    fmt = config.get("user_history_file_format", config.get("train_file_format"))
+    df = file_io.load_table(os.path.join(dpath, fname))
+    history = UserHistory.from_dataframe(df, int(config["n_users"]), fmt)
+
+    res = get_topk_recommendations(config, model, params, constants, user_ids,
+                                   history, int(config.get("topk", 100)))
+    if config.get("item_file"):
+        with open(out_path, "w") as f:
+            f.writelines(res)
+        logger.info("saved per-item scores to %s", out_path)
+    else:
+        np.savetxt(out_path, res, delimiter=",", fmt="%i")
+        logger.info("saved top-%s recommendations to %s",
+                    config.get("topk", 100), out_path)
+    return res
+
+
+if __name__ == "__main__":
+    do_topk_reco(config_mod.parse_cmd_arguments(sys.argv[1:]))
