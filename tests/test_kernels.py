@@ -1,0 +1,70 @@
+"""Pallas kernel unit tests (interpret mode on the CPU backend).
+
+The reference has no kernels to test; these are new surface (SURVEY.md §7.8:
+"kernel unit tests, new, because we now have kernels")."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import unirec_tpu.ops.attention as A
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(A, "_INTERPRET", True)
+
+
+def _inputs(B=2, H=2, L=16, D=8, seed=0):
+    rng = np.random.default_rng(seed)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+               for _ in range(3))
+    # causal + padding mask like modules.causal_attention_mask
+    item_seq = rng.integers(0, 5, size=(B, L))
+    item_seq[:, -4:] = rng.integers(1, 5, size=(B, 4))
+    pad = (item_seq > 0).astype(np.float32)[:, None, None, :]
+    causal = np.tril(np.ones((L, L), np.float32))[None, None]
+    mask = jnp.asarray((1.0 - pad * causal) * A.MASK_VALUE, jnp.float32)
+    return q, k, v, mask
+
+
+def test_flash_matches_xla_forward():
+    q, k, v, mask = _inputs()
+    ref = A.xla_attention(q, k, v, mask)
+    out = A.flash_attention(q, k, v, jnp.broadcast_to(mask, ref.shape[:2] + mask.shape[2:]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_matches_xla_gradients():
+    q, k, v, mask = _inputs(L=8, D=8)
+    maskb = jnp.broadcast_to(mask, q.shape[:2] + mask.shape[2:])
+
+    def loss_flash(q, k, v):
+        return jnp.sum(A.flash_attention(q, k, v, maskb) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(A.xla_attention(q, k, v, mask) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_blockwise_split_invariance():
+    """Larger L exercises multiple q/k blocks; result must be identical."""
+    q, k, v, mask = _inputs(L=256, D=8, seed=3)
+    ref = A.xla_attention(q, k, v, mask)
+    out = A.flash_attention(q, k, v, jnp.broadcast_to(mask, ref.shape[:2] + mask.shape[2:]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_causal_attention_dispatch_fallback():
+    """On CPU without interpret forcing, dispatch must use the XLA path."""
+    q, k, v, mask = _inputs(L=10, D=7)  # tile-unfriendly shapes
+    out = A.causal_attention(q, k, v, mask, use_pallas=True)
+    ref = A.xla_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)

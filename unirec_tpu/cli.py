@@ -18,7 +18,8 @@ import sys
 
 from unirec_tpu import config as config_mod
 
-COMMANDS = ("train", "test", "infer", "infer-embedding", "reco-topk")
+COMMANDS = ("train", "test", "infer", "infer-embedding", "reco-topk",
+            "prepare-data", "export")
 
 
 def main(argv=None):
@@ -42,6 +43,18 @@ def main(argv=None):
     if cmd == "infer-embedding":
         from unirec_tpu.main import infer_embedding
         infer_embedding.run(config_mod.parse_cmd_arguments(rest))
+        return 0
+    if cmd == "prepare-data":
+        from unirec_tpu.data.prepare import prepare_data
+        kw = config_mod.parse_cmd_arguments(rest)
+        info = prepare_data(kw.pop("raw_file"), kw.pop("out_dir"), **kw)
+        print(info)
+        return 0
+    if cmd == "export":
+        from unirec_tpu.serving.export import export_model
+        kw = config_mod.parse_cmd_arguments(rest)
+        manifest = export_model(kw.pop("model_file"), kw.pop("out_dir"), **kw)
+        print(manifest)
         return 0
     from unirec_tpu.main import reco_topk
     reco_topk.do_topk_reco(config_mod.parse_cmd_arguments(rest))

@@ -1,0 +1,101 @@
+"""Dataset preprocessing: raw interaction logs → framework files.
+
+Capability parity with the reference's examples/preprocess/prepare_data.py:
+raw (user, item[, rating, timestamp]) rows are id-indexed from 1 (0 is the
+padding id), split leave-one-out per user (last interaction → test,
+second-to-last → valid, prepare_data.py:123-125), and written as
+train/valid/test tables + a T5 ``user_history`` file + the ``data.info``
+JSON that the config loader consumes (prepare_data.py:176-236). Optional
+static negative sampling materializes one-vs-k evaluation files
+(prepare_data.py:210-224).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from unirec_tpu.utils import file_io
+
+
+def prepare_data(raw_file: str, out_dir: str, sep: str = "\t",
+                 user_col: str = "user_id", item_col: str = "item_id",
+                 time_col: Optional[str] = None, min_inter: int = 3,
+                 n_neg_k: int = 0, seed: int = 2022,
+                 index_from_zero: bool = True) -> Dict[str, Any]:
+    """Returns the written data.info dict."""
+    if raw_file.endswith((".csv",)):
+        df = pd.read_csv(raw_file)
+    else:
+        df = pd.read_csv(raw_file, sep=sep)
+    if user_col not in df.columns:  # headerless fallback
+        df = pd.read_csv(raw_file, sep=sep, header=None)
+        names = [user_col, item_col] + ([time_col] if time_col else [])
+        df.columns = names + [f"extra_{i}" for i in range(len(df.columns) - len(names))]
+
+    if time_col and time_col in df.columns:
+        df = df.sort_values([user_col, time_col], kind="stable")
+
+    # drop users with too-few interactions to split leave-one-out
+    counts = df.groupby(user_col)[item_col].transform("size")
+    df = df[counts >= max(min_inter, 3)]
+
+    # contiguous 1-based ids; 0 reserved for padding (prepare_data.py:86-121)
+    if index_from_zero:
+        uids = {u: i + 1 for i, u in enumerate(pd.unique(df[user_col]))}
+        iids = {t: i + 1 for i, t in enumerate(pd.unique(df[item_col]))}
+        df = df.assign(**{user_col: df[user_col].map(uids),
+                          item_col: df[item_col].map(iids)})
+    n_users = int(df[user_col].max()) + 1
+    n_items = int(df[item_col].max()) + 1
+
+    grouped = df.groupby(user_col)[item_col].apply(
+        lambda x: np.asarray(x, dtype=np.int64))
+    train_rows, valid_rows, test_rows, hist_users, hist_seqs = [], [], [], [], []
+    rng = np.random.default_rng(seed)
+    all_items = np.arange(1, n_items)
+    for u, seq in grouped.items():
+        train_seq, v_item, t_item = seq[:-2], seq[-2], seq[-1]
+        hist_users.append(u)
+        hist_seqs.append(train_seq)
+        train_rows.extend((u, it) for it in train_seq)
+        valid_rows.append((u, v_item))
+        test_rows.append((u, t_item))
+
+    os.makedirs(out_dir, exist_ok=True)
+    pd.DataFrame(train_rows, columns=["user_id", "item_id"]).to_pickle(
+        os.path.join(out_dir, "train.pkl"))
+    pd.DataFrame(valid_rows, columns=["user_id", "item_id"]).to_pickle(
+        os.path.join(out_dir, "valid.pkl"))
+    pd.DataFrame(test_rows, columns=["user_id", "item_id"]).to_pickle(
+        os.path.join(out_dir, "test.pkl"))
+    pd.DataFrame({"user_id": hist_users, "item_seq": hist_seqs}).to_pickle(
+        os.path.join(out_dir, "user_history.pkl"))
+
+    if n_neg_k > 0:
+        # static one-vs-k files (T4): 1 positive + n_neg_k sampled negatives
+        for split, rows in (("valid", valid_rows), ("test", test_rows)):
+            t4 = []
+            for u, pos in rows:
+                seen = set(grouped[u].tolist())
+                negs = []
+                while len(negs) < n_neg_k:
+                    cand = int(rng.choice(all_items))
+                    if cand != pos and cand not in seen:
+                        negs.append(cand)
+                t4.append((u, np.asarray([pos] + negs, np.int64),
+                           np.asarray([1.0] + [0.0] * n_neg_k, np.float32)))
+            pd.DataFrame(t4, columns=["user_id", "item_id_list", "label_list"]) \
+                .to_pickle(os.path.join(out_dir, f"{split}_k.pkl"))
+
+    info = {
+        "n_users": n_users, "n_items": n_items,
+        "train_file_format": "user-item",
+        "valid_file_format": "user-item",
+        "test_file_format": "user-item",
+        "user_history_file_format": "user-item_seq",
+    }
+    file_io.save_data_info(out_dir, info)
+    return info

@@ -44,6 +44,16 @@ class _EvaluatorBase:
         self.traceable = hasattr(model, "init")
 
     # --------------------------------------------------------------- helpers
+    def _to_device(self, batch):
+        """Device-put a host batch, sharding the leading axis over the mesh
+        'data' axis when more than one device is present (replaces the
+        reference's per-rank dataloader sharding, evaluator_abc.py:160-168).
+        Rows may be padded with zero-weight copies; callers must read the
+        weight column back from the returned dict."""
+        if self.mesh is not None and getattr(self.mesh, "n_devices", 1) > 1:
+            return self.mesh.shard_batch(batch)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
     def _variables(self, params, constants):
         v = {"params": params}
         if constants:
@@ -135,20 +145,21 @@ class OnePositiveEvaluator(_EvaluatorBase):
         auc_labels: List[np.ndarray] = []
         key = jax.random.PRNGKey(self.seed + 101)
         for i, batch in enumerate(batcher):
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            jb = self._to_device(batch)
+            w_host = _np(jb["weight"])
             scores = self._predict(params, constants, jb)
             if scores.ndim == 1:
                 g = int(self.config.get("group_size", -1) or -1)
                 if g > 0:
                     scores = scores.reshape(-1, g)
                 else:
-                    scores = scores.reshape(len(batch["weight"]), -1)
+                    scores = scores.reshape(len(w_host), -1)
             if want_auc and "label" in batch:
-                keep = np.asarray(batch["weight"]) > 0
+                keep = w_host > 0
                 auc_scores.append(_np(scores).reshape(len(keep), -1)[keep])
-                auc_labels.append(np.asarray(batch["label"]).reshape(len(keep), -1)[keep])
+                auc_labels.append(_np(jb["label"]).reshape(len(keep), -1)[keep])
             vals = self._group_metrics(scores, jax.random.fold_in(key, i))
-            w = batch["weight"]
+            w = w_host
             if scores.shape[0] != len(w):  # per-group rows after reshape
                 w = np.repeat(w, scores.shape[0] // len(w))
             for m in group_names:
@@ -175,8 +186,10 @@ class OnePositiveEvaluator(_EvaluatorBase):
         key = jax.random.PRNGKey(self.seed + 202)
         meta = self.item_meta
         for i, batch in enumerate(batcher):
-            hist_items, hist_len = history.gather(batch["user_id"])
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            jb = self._to_device(batch)
+            w_host = _np(jb["weight"])
+            uid = _np(jb["user_id"])
+            hist_items, hist_len = history.gather(uid)
             scores = self._user_scores_fn(params, constants, item_emb, jb)
             pos = jb["item_id"]
             if pos.ndim == 2:
@@ -187,8 +200,8 @@ class OnePositiveEvaluator(_EvaluatorBase):
                 topk=self._popkl_k)
             for m in self.base_names:
                 rows[m].append(_np(vals[m]))
-            keep = batch["weight"] > 0
-            weights.append(batch["weight"])
+            keep = w_host > 0
+            weights.append(w_host)
             if not self.morec_names:
                 continue
             # ---- MoRec metrics (onepos.py:133-173), host-side tiny math
@@ -240,9 +253,9 @@ class OnePositiveEvaluator(_EvaluatorBase):
         """Raw score inference (predict_only path, evaluator_abc.py:175)."""
         out = []
         for batch in batcher:
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            jb = self._to_device(batch)
             scores = _np(self._predict(params, constants, jb))
-            out.append(scores[batch["weight"] > 0])
+            out.append(scores[_np(jb["weight"]) > 0])
         return np.concatenate(out)
 
 
@@ -270,14 +283,14 @@ class MultiPositiveEvaluator(OnePositiveEvaluator):
         weights = []
         key = jax.random.PRNGKey(self.seed + 303)
         for i, batch in enumerate(batcher):
-            hist_items, hist_len = history.gather(batch["user_id"])
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            jb = self._to_device(batch)
+            hist_items, hist_len = history.gather(_np(jb["user_id"]))
             scores = self._user_scores_fn(params, constants, item_emb, jb)
             vals = self._mp_metrics(scores, jb["item_id"], jnp.asarray(hist_items),
                                     jnp.asarray(hist_len), jax.random.fold_in(key, i))
             for m in names:
                 rows[m].append(_np(vals[m]))
-            weights.append(batch["weight"])
+            weights.append(_np(jb["weight"]))
         return self.merge(rows, weights)
 
 
@@ -289,14 +302,15 @@ class SessionWiseEvaluator(_EvaluatorBase):
     def evaluate(self, batcher, params, constants=None) -> Dict[str, float]:
         scores, labels, sessions = [], [], []
         for batch in batcher:
-            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            jb = self._to_device(batch)
+            w_host = _np(jb["weight"])
             s = _np(self._predict(params, constants, jb)).reshape(-1)
-            keep = np.repeat(batch["weight"] > 0, s.shape[0] // len(batch["weight"]))
+            keep = np.repeat(w_host > 0, s.shape[0] // len(w_host))
             scores.append(s[keep])
-            labels.append(np.asarray(batch["label"]).reshape(-1)[keep])
-            sessions.append(np.asarray(batch["session_id"]).reshape(-1)[keep]
-                            if "session_id" in batch else
-                            np.asarray(batch["user_id"]).reshape(-1)[keep])
+            labels.append(_np(jb["label"]).reshape(-1)[keep])
+            sessions.append(_np(jb["session_id"]).reshape(-1)[keep]
+                            if "session_id" in jb else
+                            _np(jb["user_id"]).reshape(-1)[keep])
         return self.evaluate_with_scores(np.concatenate(scores),
                                          np.concatenate(labels),
                                          np.concatenate(sessions))

@@ -114,11 +114,16 @@ class Trainer:
         variables = self.model.init({"params": k0, "dropout": k1}, jb, train=False)
         self.params = variables["params"]
         self.constants = variables.get("constants")
-        self.opt_state = self.tx.init(self.params)
-        # replicate across the mesh
-        self.params = self.mesh.replicate(self.params)
-        self.opt_state = jax.tree_util.tree_map(
-            lambda x: x, self.opt_state)
+        # place params on the mesh: row-shard embedding tables over 'model'
+        # when configured (SURVEY.md §2.9 — the EP-shaped strategy), else
+        # replicate; the optimizer state inherits the placement via jit
+        if bool(self.config.get("shard_embeddings")) and self.mesh.n_model > 1:
+            self.params = self.mesh.shard_params(
+                self.params,
+                min_rows=int(self.config.get("shard_min_rows", 1024)))
+        else:
+            self.params = self.mesh.replicate(self.params)
+        self.opt_state = jax.jit(self.tx.init)(self.params)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params))
         self.logger.info(f"Model initialized: {n_params} trainable parameters")
 

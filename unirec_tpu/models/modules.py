@@ -116,6 +116,7 @@ class MultiHeadAttention(nn.Module):
     attn_dropout_prob: float
     layer_norm_eps: float
     kernel_init: Callable = nn.initializers.normal(0.02)
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -128,11 +129,18 @@ class MultiHeadAttention(nn.Module):
         k = dense("key")(x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
         v = dense("value")(x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(float(hd))
-        scores = scores + attn_mask  # additive -10000 mask
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(self.attn_dropout_prob, deterministic=not train)(probs)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        # the flash kernel has no attention-prob dropout; use it whenever
+        # dropout is inactive (eval, or attn_dropout_prob == 0)
+        flash_ok = self.use_flash and (not train or self.attn_dropout_prob == 0.0)
+        if flash_ok:
+            from unirec_tpu.ops import attention as attn_ops
+            ctx = attn_ops.causal_attention(q, k, v, attn_mask)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(float(hd))
+            scores = scores + attn_mask  # additive -10000 mask
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(self.attn_dropout_prob, deterministic=not train)(probs)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, H)
         out = dense("dense")(ctx)
         out = nn.Dropout(self.hidden_dropout_prob, deterministic=not train)(out)
@@ -169,12 +177,14 @@ class TransformerLayer(nn.Module):
     hidden_act: str
     layer_norm_eps: float
     kernel_init: Callable = nn.initializers.normal(0.02)
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
         x = MultiHeadAttention(self.n_heads, self.hidden_size,
                                self.hidden_dropout_prob, self.attn_dropout_prob,
                                self.layer_norm_eps, self.kernel_init,
+                               self.use_flash,
                                name="multi_head_attention")(x, attn_mask, train)
         return FeedForward(self.hidden_size, self.inner_size,
                            self.hidden_dropout_prob, self.hidden_act,
@@ -192,6 +202,7 @@ class TransformerEncoder(nn.Module):
     hidden_act: str = "gelu"
     layer_norm_eps: float = 1e-12
     kernel_init: Callable = nn.initializers.normal(0.02)
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
@@ -199,7 +210,8 @@ class TransformerEncoder(nn.Module):
             x = TransformerLayer(self.n_heads, self.hidden_size, self.inner_size,
                                  self.hidden_dropout_prob, self.attn_dropout_prob,
                                  self.hidden_act, self.layer_norm_eps,
-                                 self.kernel_init, name=f"layer_{i}")(x, attn_mask, train)
+                                 self.kernel_init, self.use_flash,
+                                 name=f"layer_{i}")(x, attn_mask, train)
         return x
 
 

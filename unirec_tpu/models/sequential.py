@@ -43,7 +43,8 @@ class SASRec(SeqRecBase):
             attn_dropout_prob=float(c.get("attn_dropout_prob", 0.5)),
             hidden_act=c.get("hidden_act", "gelu"),
             layer_norm_eps=float(c.get("layer_norm_eps", 1e-12)),
-            kernel_init=init)
+            kernel_init=init,
+            use_flash=bool(c.get("use_pallas", True)))
         self.input_ln = nn.LayerNorm(epsilon=float(c.get("layer_norm_eps", 1e-12)),
                                      name="LayerNorm")
         self.input_dropout = nn.Dropout(float(c.get("hidden_dropout_prob", 0.5)))
