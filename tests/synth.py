@@ -133,6 +133,12 @@ def generate(root: str, n_users: int = N_USERS, n_items: int = N_ITEMS,
     })
     meta.to_csv(os.path.join(root, "item_meta_morec.csv"), index=False)
 
+    # categorical item features: one field = cluster id (1..N_CLUSTERS)
+    feat_rows = [(i, np.asarray([int(item_cluster[i]) + 1], np.int64))
+                 for i in range(1, n_items)]
+    pd.DataFrame(feat_rows, columns=["item_id", "features"]).to_pickle(
+        os.path.join(root, "item_features.pkl"))
+
     # frozen "text" embeddings correlated with clusters
     centers = rng.normal(size=(N_CLUSTERS, text_emb_dim))
     text = centers[item_cluster] + 0.1 * rng.normal(size=(n_items, text_emb_dim))

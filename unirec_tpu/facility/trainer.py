@@ -81,6 +81,28 @@ class Trainer:
         self.scheduler = build_scheduler(config)
         self.objective_controller = None  # MoRec hook
 
+        # observability hooks (reference trainer.py:78-84,284-290,356-365)
+        self._tb = None
+        if int(config.get("use_tensorboard", 0) or 0):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(
+                    os.path.join(config.get("output_path", "."), "tensorboard"))
+            except ImportError:  # pragma: no cover
+                self.logger.warning("tensorboard unavailable; disabling")
+        self._wandb = None
+        if int(config.get("use_wandb", 0) or 0):
+            try:  # pragma: no cover - wandb not in the test environment
+                import wandb
+                self._wandb = wandb
+                if wandb.run is None:
+                    wandb.init(project=config.get("wandb_project", "unirec_tpu"),
+                               name=self.exp_name, config={
+                                   k: v for k, v in config.items()
+                                   if not k.startswith("_")})
+            except ImportError:
+                self.logger.warning("wandb unavailable; disabling")
+
         self.params = None
         self.constants = None
         self.opt_state = None
@@ -180,6 +202,8 @@ class Trainer:
                                    bigger=self.valid_metric_bigger)
                 logger.info("epoch %d evaluating [time: %.2fs, %s: %f]",
                             epoch_idx, time.time() - t0, self.key_metric, valid_score)
+                self._log_scalars({f"valid/{k}": v
+                                   for k, v in valid_result.items()}, epoch_idx)
                 if verbose > 1:
                     logger.info("complete scores on valid set:\n%s", dict2str(valid_result))
                 if update_flag:
@@ -215,8 +239,18 @@ class Trainer:
                 total_loss += float(loss)
             logger.info("epoch %d training [time: %.2fs, train loss: %.4f]",
                         epoch_idx + 1, time.time() - t0, total_loss)
+            self._log_scalars({"train/loss": total_loss,
+                               "train/epoch_seconds": time.time() - t0},
+                              epoch_idx + 1)
         self.cur_epoch = self.epochs
         return self.best_valid_result
+
+    def _log_scalars(self, scalars: Dict[str, float], step: int):
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), step)
+        if self._wandb is not None:  # pragma: no cover
+            self._wandb.log(dict(scalars), step=step)
 
     # -------------------------------------------------------------- evaluate
     def evaluate(self, eval_data, load_best_model: bool = True,

@@ -107,6 +107,14 @@ def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
 
     np.random.seed(int(config.get("seed", 2022)))
 
+    # kernel-level trace (TPU equivalent of the reference's whole-run
+    # cProfile, main.py:490-499): view with tensorboard or xprof
+    if int(config.get("profile", 0) or 0):
+        import jax
+        trace_dir = os.path.join(out_path, "profile")
+        jax.profiler.start_trace(trace_dir)
+        logger.info("jax profiler tracing to %s", trace_dir)
+
     mesh = create_mesh(config)
     logger.info("mesh: data=%d model=%d", mesh.n_data, mesh.n_model)
 
@@ -234,9 +242,16 @@ def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
         out_file = os.path.join(out_path, f"{exp_name}.infer.txt")
         np.savetxt(out_file, np.asarray(scores).reshape(len(scores), -1), fmt="%.6f")
         logger.info("wrote inference scores to %s", out_file)
+        if int(config.get("profile", 0) or 0):
+            import jax
+            jax.profiler.stop_trace()
         return None
     else:
         raise ValueError(f"unknown task: {task}")
+
+    if int(config.get("profile", 0) or 0):
+        import jax
+        jax.profiler.stop_trace()
 
     if result is not None:
         res_file = os.path.join(out_path, f"{exp_name}.result.tsv")
