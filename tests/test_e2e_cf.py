@@ -34,7 +34,8 @@ def test_mf_all_losses(synth_dataset, tmp_path):
     for loss in ("bce", "bpr", "ccl", "softmax", "fullsoftmax"):
         result = main.run(_conf(root, str(tmp_path), "MF", loss_type=loss,
                                 dataloader="BaseDataset", has_user_emb=True,
-                                epochs=2, exp_name=f"pytest-{loss}"))
+                                epochs=5, learning_rate=0.01,
+                                exp_name=f"pytest-{loss}"))
         assert result["hit@5"] > 0.03, (loss, result)
 
 

@@ -21,6 +21,10 @@ RANK_CONF = {
     "key_metric": "auc",
     "learning_rate": 0.005,
     "grad_clip_value": 5.0,
+    # tiny-synth plateau escape is fragile with the reference's 0.02 init;
+    # a larger initial embedding signal makes all three rankers learn
+    # reliably regardless of the shuffle stream
+    "init_std": 0.1,
     "embedding_size": 32,
     "hidden_size": 32,
     "max_seq_len": 10,

@@ -54,8 +54,11 @@ def test_seq_model(synth_dataset, tmp_path, model):
 def test_sasrec_losses(synth_dataset, tmp_path, loss):
     root, info = synth_dataset
     neg = 0 if loss == "fullsoftmax" else 9
+    # sampled losses see 10 candidates/row instead of the catalog; give them
+    # more epochs to clear the bar on the tiny synth set
     result = main.run(_conf(root, str(tmp_path), "SASRec", loss_type=loss,
                             n_sample_neg_train=neg,
+                            epochs=6 if loss == "fullsoftmax" else 10,
                             exp_name=f"pytest-{loss}"))
     assert result["hit@5"] > 1.5 * RANDOM_HIT5, (loss, result)
 

@@ -1,0 +1,115 @@
+"""Trainer-level feature tests: parameter freeze on pretrain load, the
+BPR/CCL compliance check, the prefetching batcher, and the sweep driver."""
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from tests.synth import BASE_CONF
+from unirec_tpu.main import main
+
+
+def _mf_conf(root, out, **kw):
+    conf = copy.deepcopy(BASE_CONF)
+    conf.update(model="MF", dataloader="BaseDataset", loss_type="bpr",
+                has_user_emb=True, dataset_path=root, output_path=out,
+                task="train", epochs=2, exp_name="tf")
+    conf.update(kw)
+    return conf
+
+
+def test_freeze_pretrained(synth_dataset, tmp_path):
+    root, info = synth_dataset
+    pre_out = os.path.join(str(tmp_path), "pre")
+    main.run(_mf_conf(root, pre_out))
+    ckpt = os.path.join(pre_out, "checkpoint", "tf.pkl")
+
+    import pickle
+    before = pickle.load(open(ckpt, "rb"))["params"]
+
+    fin_out = os.path.join(str(tmp_path), "fin")
+    main.run(_mf_conf(root, fin_out, load_pretrained_model=True,
+                      model_file=ckpt, freeze=1, epochs=2,
+                      exp_name="tf-frozen"))
+    after = pickle.load(open(os.path.join(fin_out, "checkpoint",
+                                          "tf-frozen.pkl"), "rb"))["params"]
+    # every pretrained param must be bit-identical after "training"
+    np.testing.assert_array_equal(
+        np.asarray(before["item_embedding"]["embedding"]),
+        np.asarray(after["item_embedding"]["embedding"]))
+    np.testing.assert_array_equal(
+        np.asarray(before["user_embedding"]["embedding"]),
+        np.asarray(after["user_embedding"]["embedding"]))
+
+
+def test_compliance_check_rejects_bad_groups():
+    from unirec_tpu.facility.trainer import Trainer
+    t = Trainer.__new__(Trainer)
+    t.config = {"loss_type": "bpr"}
+    bad = {"label": np.zeros((4, 3), np.float32),
+           "weight": np.ones(4, np.float32)}
+    np.random.seed(0)
+    with pytest.raises(ValueError, match="compliance"):
+        for _ in range(200):  # triggers with prob 0.1 per call
+            t._maybe_check_compliance(bad)
+
+
+def test_prefetch_batcher_equivalence(synth_dataset):
+    root, info = synth_dataset
+    from unirec_tpu import config as config_mod
+    from unirec_tpu.data.datasets import BaseDataset
+    from unirec_tpu.data.pipeline import Batcher, PrefetchBatcher
+    cfg = config_mod.parse_arguments(
+        dict(BASE_CONF, dataset_path=root, data_format="user-item",
+             data_loader_task="train", n_items=info["n_items"],
+             n_users=info["n_users"]), argv=[])
+    ds = BaseDataset(cfg, root, "train")
+    plain = list(Batcher(ds, cfg, seed=5))
+    wrapped = list(PrefetchBatcher(Batcher(ds, cfg, seed=5), depth=2))
+    assert len(plain) == len(wrapped)
+    for a, b in zip(plain, wrapped):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_sweep_driver(synth_dataset, tmp_path):
+    import yaml
+
+    from unirec_tpu.facility.sweep import run_sweep
+    root, info = synth_dataset
+    sweep_file = os.path.join(str(tmp_path), "sweep.yaml")
+    yaml.safe_dump({
+        "method": "grid",
+        "metric": {"name": "ndcg@5", "goal": "maximize"},
+        "parameters": {"learning_rate": {"values": [0.0005, 0.005]}},
+    }, open(sweep_file, "w"))
+    base = _mf_conf(root, os.path.join(str(tmp_path), "sweep"), epochs=2)
+    best, records = run_sweep(sweep_file, base)
+    assert len(records) == 2
+    assert best is not None and "ndcg@5" in best
+    assert os.path.exists(os.path.join(str(tmp_path), "sweep",
+                                       "sweep_results.tsv"))
+    # the higher lr clearly wins on this dataset
+    assert best["learning_rate"] == 0.005
+
+
+def test_bfloat16_compute(synth_dataset, tmp_path):
+    """compute_dtype=bfloat16 runs the dense towers in bf16 (params stay
+    fp32, losses fp32) and still learns."""
+    root, info = synth_dataset
+    conf = _mf_conf(root, os.path.join(str(tmp_path), "bf16"),
+                    model="SASRec", dataloader="SeqRecDataset",
+                    loss_type="fullsoftmax", n_sample_neg_train=0,
+                    n_layers=1, epochs=4, learning_rate=0.005,
+                    has_user_emb=False, compute_dtype="bfloat16",
+                    exp_name="bf16")
+    result = main.run(conf)
+    assert result is not None and result["hit@5"] > 5.0 / 300.0, result
+    import pickle
+    params = pickle.load(open(os.path.join(str(tmp_path), "bf16",
+                                           "checkpoint", "bf16.pkl"),
+                              "rb"))["params"]
+    import jax
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype == np.float32

@@ -19,7 +19,7 @@ import sys
 from unirec_tpu import config as config_mod
 
 COMMANDS = ("train", "test", "infer", "infer-embedding", "reco-topk",
-            "prepare-data", "export")
+            "prepare-data", "export", "sweep")
 
 
 def main(argv=None):
@@ -49,6 +49,13 @@ def main(argv=None):
         kw = config_mod.parse_cmd_arguments(rest)
         info = prepare_data(kw.pop("raw_file"), kw.pop("out_dir"), **kw)
         print(info)
+        return 0
+    if cmd == "sweep":
+        from unirec_tpu.facility.sweep import run_sweep
+        kw = config_mod.parse_cmd_arguments(rest)
+        best, _ = run_sweep(kw.pop("sweep_file"), kw,
+                            n_trials=int(kw.pop("n_trials", 20)))
+        print("best trial:", best)
         return 0
     if cmd == "export":
         from unirec_tpu.serving.export import export_model

@@ -37,7 +37,12 @@ class Batcher:
         self.sampler = sampler
         self.batch_size = int(batch_size or config.get("batch_size", 256))
         self.shuffle = shuffle
-        self.rng = np.random.default_rng(seed)
+        # every __iter__ derives a fresh rng from (seed, epoch) so epochs are
+        # individually deterministic and safe to assemble from a prefetch
+        # thread (no shared mutable rng state between concurrent iterators)
+        self.seed = int(seed)
+        self._epoch = 0
+        self.rng = np.random.default_rng(seed)  # kept for ad-hoc callers
         self.features = features
         self.max_seq_len = int(config.get("max_seq_len", 10))
         self.mask_mode = config.get("history_mask_mode", HistoryMaskMode.UNORDER.value)
@@ -51,12 +56,18 @@ class Batcher:
             return 0
         return (n + b - 1) // b if self.pad_incomplete else max(n // b, (n + b - 1) // b if n < b else n // b)
 
+    def _next_rng(self) -> np.random.Generator:
+        rng = np.random.default_rng([self.seed, self._epoch])
+        self._epoch += 1
+        return rng
+
     # ------------------------------------------------------------------
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = self._next_rng()
         n = len(self.ds)
         order = np.arange(n)
         if self.shuffle:
-            order = self.rng.permutation(n)
+            order = rng.permutation(n)
         b = self.batch_size
         for start in range(0, n, b):
             idx = order[start:start + b]
@@ -67,10 +78,12 @@ class Batcher:
                     break
                 weight[len(idx):] = 0.0
                 idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
-            yield self._assemble(idx, weight)
+            yield self._assemble(idx, weight, rng)
 
     # ------------------------------------------------------------------
-    def _assemble(self, idx: np.ndarray, weight: np.ndarray) -> Dict[str, np.ndarray]:
+    def _assemble(self, idx: np.ndarray, weight: np.ndarray,
+                  rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+        rng = rng if rng is not None else self.rng
         ds, cols = self.ds, self.ds.cols
         batch: Dict[str, np.ndarray] = {"weight": weight}
 
@@ -101,7 +114,7 @@ class Batcher:
         # dynamic negative sampling → grouped items/labels
         if self.sampler is not None and self.sampler.n_neg > 0:
             pos = item_id
-            negs = self.sampler(self.rng, user_id, pos)
+            negs = self.sampler(rng, user_id, pos)
             if pos.ndim == 1:
                 item_id = np.concatenate([pos[:, None], negs], axis=1)
             else:
@@ -140,7 +153,7 @@ class Batcher:
                 self.max_seq_len,
                 mask_mode=self.mask_mode,
                 seq_last=self.seq_last,
-                rng=self.rng,
+                rng=rng,
                 explicit_max_len=explicit,
                 with_time=self.with_time,
             )
@@ -152,6 +165,52 @@ class Batcher:
                 batch["item_seq_features"] = self.features[seq]
 
         return batch
+
+
+class PrefetchBatcher:
+    """Double-buffered host-side pipeline: batch assembly (shuffling,
+    negative sampling, history windowing — all numpy) runs in a background
+    thread while the device executes the previous step. Plays the role of
+    the reference's DataLoader worker processes (main.py:126,198) without
+    process forking; ``depth`` bounds the queue so memory stays constant."""
+
+    def __init__(self, batcher, depth: int = 2):
+        self.batcher = batcher
+        self.depth = max(int(depth), 1)
+
+    def __len__(self):
+        return len(self.batcher)
+
+    def __getattr__(self, name):
+        return getattr(self.batcher, name)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+        err: list = []
+
+        def producer():
+            try:
+                for b in self.batcher:
+                    q.put(b)
+            except BaseException as e:  # surface worker errors in the consumer
+                err.append(e)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
 
 
 def make_negative_sampler(config, history, item_popularity=None,
@@ -172,10 +231,12 @@ def make_negative_sampler(config, history, item_popularity=None,
 
 def make_train_batcher(dataset, config, history, item_popularity=None, features=None):
     sampler = make_negative_sampler(config, history, item_popularity, "train")
-    return Batcher(dataset, config, history=history, sampler=sampler,
-                   batch_size=config.get("batch_size"),
-                   shuffle=bool(config.get("shuffle_train", 0)),
-                   seed=int(config.get("seed", 2022)), features=features)
+    batcher = Batcher(dataset, config, history=history, sampler=sampler,
+                      batch_size=config.get("batch_size"),
+                      shuffle=bool(config.get("shuffle_train", 0)),
+                      seed=int(config.get("seed", 2022)), features=features)
+    depth = int(config.get("prefetch_batches", 2) or 0)
+    return PrefetchBatcher(batcher, depth) if depth > 0 else batcher
 
 
 def make_eval_batcher(dataset, config, history, task="test", item_popularity=None,

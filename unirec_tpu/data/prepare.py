@@ -24,7 +24,8 @@ def prepare_data(raw_file: str, out_dir: str, sep: str = "\t",
                  user_col: str = "user_id", item_col: str = "item_id",
                  time_col: Optional[str] = None, min_inter: int = 3,
                  n_neg_k: int = 0, seed: int = 2022,
-                 index_from_zero: bool = True) -> Dict[str, Any]:
+                 index_from_zero: bool = True,
+                 libfm: bool = False) -> Dict[str, Any]:
     """Returns the written data.info dict."""
     if raw_file.endswith((".csv",)):
         df = pd.read_csv(raw_file)
@@ -90,8 +91,32 @@ def prepare_data(raw_file: str, out_dir: str, sep: str = "\t",
             pd.DataFrame(t4, columns=["user_id", "item_id_list", "label_list"]) \
                 .to_pickle(os.path.join(out_dir, f"{split}_k.pkl"))
 
+    if libfm:
+        # T7 libFM-style rows (role of the reference's
+        # specific_datasets/fmlp.py converters): feature ids are 1+user and
+        # 1+n_users+item (0 reserved); groups of 1+n_neg_k with pos first
+        if n_neg_k <= 0:
+            raise ValueError("libfm output requires n_neg_k > 0 (grouped rows)")
+        for split in ("valid", "test"):
+            t4 = pd.read_pickle(os.path.join(out_dir, f"{split}_k.pkl"))
+            rows = []
+            for u, items, labels in zip(t4["user_id"], t4["item_id_list"],
+                                        t4["label_list"]):
+                for it, lab in zip(items, labels):
+                    rows.append((float(lab),
+                                 np.asarray([1 + u, 1 + n_users + it], np.int64),
+                                 np.asarray([1.0, 1.0], np.float32)))
+            pd.DataFrame(rows, columns=["label", "index_list", "value_list"]) \
+                .to_pickle(os.path.join(out_dir, f"libfm_{split}.pkl"))
+        train_fm = [(1.0, np.asarray([1 + u, 1 + n_users + it], np.int64),
+                     np.asarray([1.0, 1.0], np.float32))
+                    for u, it in train_rows]
+        pd.DataFrame(train_fm, columns=["label", "index_list", "value_list"]) \
+            .to_pickle(os.path.join(out_dir, "libfm_train.pkl"))
+
     info = {
         "n_users": n_users, "n_items": n_items,
+        "n_feats": 1 + n_users + n_items,
         "train_file_format": "user-item",
         "valid_file_format": "user-item",
         "test_file_format": "user-item",

@@ -69,6 +69,16 @@ class _EvaluatorBase:
         return self.model.apply(self._variables(params, constants), jb,
                                 method="predict")
 
+    def predict_scores(self, batcher, params, constants=None) -> np.ndarray:
+        """Raw score inference for the infer task (evaluator_abc.py:175),
+        available under every protocol."""
+        out = []
+        for batch in batcher:
+            jb = self._to_device(batch)
+            scores = _np(self._predict(params, constants, jb))
+            out.append(scores[_np(jb["weight"]) > 0])
+        return np.concatenate(out)
+
     def merge(self, rows: Dict[str, List[np.ndarray]],
               weights: List[np.ndarray]) -> Dict[str, float]:
         w = np.concatenate(weights)
@@ -248,16 +258,6 @@ class OnePositiveEvaluator(_EvaluatorBase):
                 if mins:
                     out[f"min-{m}"] = float(min(mins))
         return out
-
-    def predict_scores(self, batcher, params, constants=None) -> np.ndarray:
-        """Raw score inference (predict_only path, evaluator_abc.py:175)."""
-        out = []
-        for batch in batcher:
-            jb = self._to_device(batch)
-            scores = _np(self._predict(params, constants, jb))
-            out.append(scores[_np(jb["weight"]) > 0])
-        return np.concatenate(out)
-
 
 class MultiPositiveEvaluator(OnePositiveEvaluator):
     """One-vs-all with multiple positives per user (T5/T6 eval)."""

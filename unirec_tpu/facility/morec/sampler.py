@@ -239,6 +239,7 @@ class MoRecBatcher(Batcher):
     # ------------------------------------------------------------ batching
     def __iter__(self):
         self.refresh_weights()
+        rng = self._next_rng()
         n_batches = len(self)
         B = self.batch_size
         n_train = len(self.ds)
@@ -252,17 +253,17 @@ class MoRecBatcher(Batcher):
                 pool = self.group2dataindex[obj][g]
                 if len(pool) == 0:
                     pool = np.arange(n_train)
-                blocks.append(self.rng.choice(pool, size=(n_batches, quota[g]),
-                                              replace=True))
+                blocks.append(rng.choice(pool, size=(n_batches, quota[g]),
+                                         replace=True))
             col = np.concatenate(blocks, axis=1)
-            col = self.rng.permutation(col.reshape(-1)).reshape(n_batches, B)
+            col = rng.permutation(col.reshape(-1)).reshape(n_batches, B)
             cols.append(col)
         # random (accuracy) block, last — cycled permutation without replacement
-        perm = self.rng.permutation(n_train)
+        perm = rng.permutation(n_train)
         reps = int(np.ceil(n_batches * B / n_train))
         rand = np.concatenate([perm] * reps)[: n_batches * B].reshape(n_batches, B)
         cols.append(rand)
 
         index_matrix = np.concatenate(cols, axis=1)  # [n_batches, n_blocks*B]
         for row in index_matrix:
-            yield self._assemble(row, np.ones(len(row), np.float32))
+            yield self._assemble(row, np.ones(len(row), np.float32), rng)

@@ -154,6 +154,7 @@ class Trainer:
             return
         model, tx = self.model, self.tx
         constants = self.constants
+        frozen = self._frozen_mask()
 
         def step(params, opt_state, batch, rng):
             def loss_fn(p):
@@ -165,6 +166,10 @@ class Trainer:
                 return loss, per_row
 
             (loss, per_row), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if frozen is not None:
+                # freeze pretrained params (trainer.py:380-386): zero their grads
+                grads = jax.tree_util.tree_map(
+                    lambda g, f: jnp.where(f, 0.0, g), grads, frozen)
             # NaN guard (trainer.py:164-168): skip the update when loss is NaN
             is_finite = jnp.isfinite(loss)
             updates, new_opt_state = tx.update(grads, opt_state, params)
@@ -177,6 +182,37 @@ class Trainer:
             return params_out, opt_out, loss
 
         self._train_step = jax.jit(step, donate_argnums=(0, 1))
+
+    def _maybe_check_compliance(self, batch):
+        """Randomized data-compliance validation (reco_abc.py:239-246,
+        trigger prob VALID_TRIGGER_P, global_variables.py:6): BPR/CCL assume
+        the first element of every group is the positive."""
+        if self.config.get("loss_type") not in (LossType.BPR.value,
+                                                LossType.CCL.value):
+            return
+        if np.random.random() >= 0.1 or "label" not in batch:
+            return
+        label = np.asarray(batch["label"])
+        if label.ndim != 2:
+            return
+        real = np.asarray(batch.get("weight", np.ones(len(label)))) > 0
+        if not (label[real, 0] > 0).all():
+            raise ValueError(
+                "data compliance check failed: BPR/CCL require the first "
+                "item of each group to be the positive (reco_abc.py:239-246)")
+
+    def _frozen_mask(self):
+        """Bool pytree marking params loaded from a pretrained checkpoint
+        when config['freeze'] is set (reference trainer.py:380-386)."""
+        paths = getattr(self, "_loaded_param_paths", None)
+        if not int(self.config.get("freeze", 0) or 0) or not paths:
+            return None
+        import flax
+        flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(self.params))
+        mask = {k: (k in paths) for k in flat}
+        self.logger.info("Freezing %d/%d pretrained parameters",
+                         sum(mask.values()), len(mask))
+        return flax.traverse_util.unflatten_dict(mask)
 
     # ------------------------------------------------------------------- fit
     def fit(self, train_data, valid_data=None, save_model: bool = True,
@@ -227,6 +263,7 @@ class Trainer:
             t0 = time.time()
             total_loss, n_steps = 0.0, 0
             for batch in train_data:
+                self._maybe_check_compliance(batch)
                 dev_batch = self.mesh.shard_batch(batch)
                 rng = jax.random.fold_in(self._rng, self._global_step)
                 if self.objective_controller is not None:
@@ -295,6 +332,9 @@ class Trainer:
         else:
             # non-strict merge (trainer.py:378 load_state_dict(strict=False))
             self.params = _merge_trees(self.params, loaded)
+        import flax
+        self._loaded_param_paths = set(
+            flax.traverse_util.flatten_dict(flax.core.unfreeze(loaded)).keys())
         if restore_optimizer and ckpt.get("opt_state") is not None:
             try:
                 self.opt_state = jax.tree_util.tree_map(jnp.asarray, ckpt["opt_state"])

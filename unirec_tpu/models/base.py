@@ -60,6 +60,13 @@ class BaseRecommender(nn.Module):
     def loss_type(self) -> str:
         return self.cfg.get("loss_type", "bce")
 
+    @property
+    def compute_dtype(self):
+        """Dense-tower computation dtype (params always fp32); bfloat16
+        halves HBM traffic on the MXU path. Losses/metrics always run fp32."""
+        return jnp.bfloat16 if self.cfg.get("compute_dtype") == "bfloat16" \
+            else None
+
     def _init_fn(self):
         return modules.make_initializer(
             self.cfg.get("init_method", "normal"),

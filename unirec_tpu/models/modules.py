@@ -117,6 +117,7 @@ class MultiHeadAttention(nn.Module):
     layer_norm_eps: float
     kernel_init: Callable = nn.initializers.normal(0.02)
     use_flash: bool = False
+    dtype: Any = None  # computation dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -124,7 +125,8 @@ class MultiHeadAttention(nn.Module):
         nh = self.n_heads
         hd = H // nh
         dense = lambda name: nn.Dense(H, kernel_init=self.kernel_init,
-                                      bias_init=nn.initializers.zeros, name=name)
+                                      bias_init=nn.initializers.zeros,
+                                      dtype=self.dtype, name=name)
         q = dense("query")(x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
         k = dense("key")(x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
         v = dense("value")(x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
@@ -156,14 +158,17 @@ class FeedForward(nn.Module):
     hidden_act: str
     layer_norm_eps: float
     kernel_init: Callable = nn.initializers.normal(0.02)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         h = nn.Dense(self.inner_size, kernel_init=self.kernel_init,
-                     bias_init=nn.initializers.zeros, name="dense_1")(x)
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="dense_1")(x)
         h = ACT2FN[self.hidden_act](h)
         h = nn.Dense(self.hidden_size, kernel_init=self.kernel_init,
-                     bias_init=nn.initializers.zeros, name="dense_2")(h)
+                     bias_init=nn.initializers.zeros, dtype=self.dtype,
+                     name="dense_2")(h)
         h = nn.Dropout(self.hidden_dropout_prob, deterministic=not train)(h)
         return nn.LayerNorm(epsilon=self.layer_norm_eps, name="LayerNorm")(h + x)
 
@@ -178,17 +183,18 @@ class TransformerLayer(nn.Module):
     layer_norm_eps: float
     kernel_init: Callable = nn.initializers.normal(0.02)
     use_flash: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
         x = MultiHeadAttention(self.n_heads, self.hidden_size,
                                self.hidden_dropout_prob, self.attn_dropout_prob,
                                self.layer_norm_eps, self.kernel_init,
-                               self.use_flash,
+                               self.use_flash, self.dtype,
                                name="multi_head_attention")(x, attn_mask, train)
         return FeedForward(self.hidden_size, self.inner_size,
                            self.hidden_dropout_prob, self.hidden_act,
-                           self.layer_norm_eps, self.kernel_init,
+                           self.layer_norm_eps, self.kernel_init, self.dtype,
                            name="feed_forward")(x, train)
 
 
@@ -203,6 +209,7 @@ class TransformerEncoder(nn.Module):
     layer_norm_eps: float = 1e-12
     kernel_init: Callable = nn.initializers.normal(0.02)
     use_flash: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
@@ -210,7 +217,7 @@ class TransformerEncoder(nn.Module):
             x = TransformerLayer(self.n_heads, self.hidden_size, self.inner_size,
                                  self.hidden_dropout_prob, self.attn_dropout_prob,
                                  self.hidden_act, self.layer_norm_eps,
-                                 self.kernel_init, self.use_flash,
+                                 self.kernel_init, self.use_flash, self.dtype,
                                  name=f"layer_{i}")(x, attn_mask, train)
         return x
 
@@ -226,6 +233,49 @@ def causal_attention_mask(item_seq: jnp.ndarray, bidirectional: bool = False) ->
         causal = jnp.tril(jnp.ones((L, L), dtype=jnp.float32))[None, None]
         mask = mask * causal
     return (1.0 - mask) * MASK_VALUE
+
+
+class Dice(nn.Module):
+    """Dice activation (modules.py:135-153): f(s) = p·s + (1-p)·α·s with
+    p = sigmoid(s). The reference keeps α as a non-learnable zero buffer
+    (making Dice equal to sigmoid-gating); here α is a zero-initialized
+    *parameter* so the adaptive part is actually trainable."""
+
+    emb_size: int
+
+    @nn.compact
+    def __call__(self, score: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param("alpha", nn.initializers.zeros, (self.emb_size,))
+        p = jax.nn.sigmoid(score)
+        return alpha * (1.0 - p) * score + p * score
+
+
+class SequenceAttLayer(nn.Module):
+    """DIN-style target attention over the user history
+    (modules.py:155-225): queries are candidate items [B, T, H], keys the
+    history [B, L, H]; invalid (left-pad) key positions get score 0.0 before
+    the softmax — the reference's mask value, kept verbatim."""
+
+    input_size: int
+    output_size: int
+    kernel_init: Callable = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(self, queries: jnp.ndarray, keys: jnp.ndarray,
+                 keys_length: jnp.ndarray) -> jnp.ndarray:
+        H = queries.shape[-1]
+        dense = lambda name: nn.Dense(self.output_size, use_bias=False,
+                                      kernel_init=self.kernel_init, name=name)
+        q = dense("dense_1")(queries)
+        k = dense("dense_2")(keys)
+        att = jnp.einsum("bth,blh->btl", q, k)
+        L = keys.shape[1]
+        # left-padded: position l is invalid when l < L - keys_length
+        idx = jnp.arange(L)[None, :]
+        invalid = idx < (L - keys_length[:, None])            # [B, L]
+        att = jnp.where(invalid[:, None, :], 0.0, att)
+        att = jax.nn.softmax(att / jnp.sqrt(float(H)), axis=-1)
+        return jnp.einsum("btl,blh->bth", att, keys)
 
 
 # ------------------------------------------------------- AdaRanker machinery

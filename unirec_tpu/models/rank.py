@@ -153,7 +153,8 @@ class BST(RankerBase):
             hidden_act=c.get("hidden_act", "gelu"),
             layer_norm_eps=float(c.get("layer_norm_eps", 1e-10)),
             kernel_init=init,
-            use_flash=bool(c.get("use_pallas", True)))
+            use_flash=bool(c.get("use_pallas", True)),
+            dtype=self.compute_dtype)
         self.input_ln = nn.LayerNorm(epsilon=float(c.get("layer_norm_eps", 1e-10)),
                                      name="LayerNorm")
         self.input_dropout = nn.Dropout(float(c.get("hidden_dropout_prob", 0.5)))
@@ -255,7 +256,8 @@ class AdaRanker(RankerBase):
                 hidden_act=c.get("hidden_act", "gelu"),
                 layer_norm_eps=float(c.get("layer_norm_eps", 1e-12)),
                 kernel_init=init,
-                use_flash=bool(c.get("use_pallas", True)))
+                use_flash=bool(c.get("use_pallas", True)),
+                dtype=self.compute_dtype)
             self.input_ln = nn.LayerNorm(
                 epsilon=float(c.get("layer_norm_eps", 1e-12)), name="LayerNorm")
             self.input_dropout = nn.Dropout(float(c.get("hidden_dropout_prob", 0.5)))

@@ -63,12 +63,17 @@ def sampled_softmax_loss(scores, labels, weight):
 def full_softmax_loss(all_scores, pos_items, weight):
     """logsumexp over the catalog minus the positive's score
     (reco_abc.py:266-270). all_scores: [B, n_items]; pos_items: [B] int."""
+    all_scores = all_scores.astype(jnp.float32)
     pos_score = jnp.take_along_axis(all_scores, pos_items[:, None].astype(jnp.int32), axis=1)[:, 0]
     per_row = jnn.logsumexp(all_scores, axis=-1) - pos_score
     return _weighted_mean(per_row, weight), per_row
 
 
 def compute_loss(loss_type: str, scores, labels, weight, config):
+    # losses always run fp32, whatever the tower compute dtype was
+    scores = scores.astype(jnp.float32)
+    if labels is not None:
+        labels = labels.astype(jnp.float32)
     if loss_type == LossType.BCE.value:
         return bce_loss(scores, labels, weight)
     if loss_type == LossType.BPR.value:

@@ -1,0 +1,79 @@
+"""Distributed full-catalog scoring + exact top-k.
+
+The reference scores the catalog in CPU numpy and ranks with argpartition
+(evaluator_abc.py:218-247, reco_topk.py:56). On a multi-chip mesh the item
+embedding table lives row-sharded over the 'model' axis; this op keeps the
+[B, n_items] score matrix sharded too: every shard computes its local
+``user_emb @ item_shard.T`` on the MXU, takes a local top-k, and only the
+k candidates per shard (values + global ids) cross the ICI in an
+all-gather — exact top-k with n_items/n_shards memory and O(k·n_shards)
+communication per row.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def sharded_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray,
+                         k: int, mesh: Mesh,
+                         item_bias: Optional[jnp.ndarray] = None,
+                         axis: str = "model") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(values [B, k], global item ids [B, k]) for row-sharded item_emb.
+
+    user_emb: [B, D] (replicated); item_emb: [N, D] sharded over ``axis``.
+    N must be divisible by the axis size (pad the table with zero rows —
+    padding ids score 0 and never enter a real top-k).
+    """
+    n_shards = mesh.shape[axis]
+    N = item_emb.shape[0]
+    assert N % n_shards == 0, (N, n_shards)
+    n_local = N // n_shards
+
+    bias_spec = P(axis) if item_bias is not None else P()
+
+    def kernel(u, it, ib):
+        local = jnp.dot(u, it.T, preferred_element_type=jnp.float32)
+        if item_bias is not None:
+            local = local + ib[None, :]
+        v, i = jax.lax.top_k(local, k)                      # [B, k] local
+        offset = jax.lax.axis_index(axis) * n_local
+        i = i + offset
+        # k candidates per shard cross the ICI; [n_shards*k] per row total
+        vs = jax.lax.all_gather(v, axis, axis=1)            # [B, S, k]
+        ids = jax.lax.all_gather(i, axis, axis=1)
+        vs = vs.reshape(vs.shape[0], -1)
+        ids = ids.reshape(ids.shape[0], -1)
+        v2, sel = jax.lax.top_k(vs, k)
+        return v2, jnp.take_along_axis(ids, sel, axis=1)
+
+    # the replication checker can't statically prove the all_gather outputs
+    # are identical across shards (they are); disable the check
+    try:
+        fn = shard_map(kernel, mesh=mesh,
+                       in_specs=(P(), P(axis, None), bias_spec),
+                       out_specs=(P(), P()), check_vma=False)
+    except TypeError:  # older jax spells it check_rep
+        fn = shard_map(kernel, mesh=mesh,
+                       in_specs=(P(), P(axis, None), bias_spec),
+                       out_specs=(P(), P()), check_rep=False)
+    ib = item_bias if item_bias is not None else jnp.zeros((N,), jnp.float32)
+    return fn(user_emb, item_emb, ib)
+
+
+def place_item_table(item_emb, mesh: Mesh, axis: str = "model"):
+    """Row-shard a [N, D] table over ``axis``, zero-padding N to a multiple
+    of the axis size. Returns (sharded table, padded N)."""
+    n_shards = mesh.shape[axis]
+    N, D = item_emb.shape
+    pad = (-N) % n_shards
+    if pad:
+        item_emb = jnp.concatenate(
+            [item_emb, jnp.zeros((pad, D), item_emb.dtype)], axis=0)
+    sharded = jax.device_put(item_emb, NamedSharding(mesh, P(axis, None)))
+    return sharded, N + pad
