@@ -1,0 +1,171 @@
+"""Exact metric/loss parity against the reference implementation.
+
+The reference's evaluators and loss helpers are pure numpy/torch functions;
+with numba stubbed to a pass-through decorator they run on CPU here. These
+tests feed IDENTICAL inputs to the reference code (imported read-only from
+/root/reference) and to our implementations and require matching outputs —
+the strongest parity evidence available without the reference's datasets.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    # stub modules the reference imports but this environment lacks
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+
+        def jit(*a, **k):
+            if a and callable(a[0]):
+                return a[0]
+            return lambda f: f
+
+        numba.jit = jit
+        numba.prange = range
+        sys.modules["numba"] = numba
+    for name in ("setproctitle", "wandb"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    # the reference targets numpy<2: restore the removed Inf aliases
+    if not hasattr(np, "Inf"):
+        np.Inf = np.inf
+        np.NINF = -np.inf
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from unirec.facility.evaluation import onepos, sessionwise
+    from unirec.model import modules as ref_modules_py
+    return onepos, sessionwise, ref_modules_py
+
+
+def test_onepos_metric_parity(ref_modules):
+    """Same grouped score matrix → identical group_auc/hit/ndcg/mrr values
+    (reference onepos.py:103-175 vs ops/metrics.py)."""
+    onepos, _, _ = ref_modules
+    import jax
+    import jax.numpy as jnp
+
+    from unirec_tpu.ops import metrics as M
+
+    rng = np.random.default_rng(0)
+    scores = rng.normal(size=(200, 21)).astype(np.float64) * 10  # well separated
+    metric_str = "['group_auc', 'hit@1;5', 'ndcg@1;5', 'ndcg', 'mrr', 'mrr@1;5']"
+    ev = onepos.OnePositiveEvaluator(
+        metric_str, group_size=-1,
+        config={"verbose": 0, "data_format": "user-item-label"})
+    ref = ev.evaluate_with_scores(scores.copy())
+    ref = {k: np.asarray(v).mean() for k, v in ref.items()}
+
+    names = M.parse_metrics(metric_str)
+    rank = M.onepos_rank_from_group(jnp.asarray(scores))
+    ours = M.onepos_metrics(rank, scores.shape[1], tuple(names))
+    for name in names:
+        np.testing.assert_allclose(float(np.asarray(ours[name]).mean()),
+                                   float(ref[name]), rtol=1e-6,
+                                   err_msg=name)
+
+
+def test_session_metric_parity(ref_modules):
+    """Same (scores, labels, session_ids) → identical session-wise metrics
+    (reference sessionwise.py vs SessionWiseEvaluator.evaluate_with_scores)."""
+    _, sessionwise, _ = ref_modules
+    from unirec_tpu.facility.evaluation.evaluators import SessionWiseEvaluator
+
+    rng = np.random.default_rng(1)
+    n_sessions, g = 50, 8
+    scores = rng.normal(size=(n_sessions * g,)) * 10
+    labels = np.zeros(n_sessions * g)
+    for s in range(n_sessions):
+        labels[s * g + rng.integers(0, g, size=rng.integers(1, 4))] = 1
+    session_ids = np.repeat(np.arange(n_sessions), g)
+
+    metric_str = "['group_auc', 'ndcg', 'mrr', 'hit@3', 'recall@3', 'ndcg@3']"
+    ref_ev = sessionwise.SessionWiseEvaluator(
+        metric_str, -1, config={"verbose": 0, "data_format": "user-item-label-session"})
+    ref = ref_ev.evaluate_with_scores(scores.copy(), labels.copy(),
+                                      session_ids=list(session_ids))
+    ref = ref_ev.merge_scores(ref)
+
+    ours_ev = SessionWiseEvaluator.__new__(SessionWiseEvaluator)
+    ours_ev.config = {"metrics": metric_str}
+    ours_ev.seed = 0
+    from unirec_tpu.ops.metrics import parse_metrics
+    ours_ev.metric_names = parse_metrics(metric_str)
+    ours = ours_ev.evaluate_with_scores(scores, labels, session_ids)
+    for k, v in ref.items():
+        assert k in ours, (k, ours.keys())
+        np.testing.assert_allclose(ours[k], float(np.asarray(v)), rtol=1e-5,
+                                   err_msg=k)
+
+
+def test_loss_function_parity(ref_modules):
+    """bpr/ccl losses: identical inputs through the reference torch helpers
+    (modules.py:15-35) and our jax implementations."""
+    _, _, ref_mod = ref_modules
+    import torch
+
+    import jax.numpy as jnp
+
+    from unirec_tpu.ops import losses as L
+
+    rng = np.random.default_rng(2)
+    scores = rng.normal(size=(64, 10)).astype(np.float32)
+    t = torch.tensor(scores)
+    # the reference call conventions (reco_abc.py:252-259)
+    neg = t[:, 1:]
+    pos = t[:, 0].unsqueeze(1).expand_as(neg)
+    ref_bpr = ref_mod.bpr_loss(pos, neg, reduction=True).item()
+    ours_bpr, _ = L.bpr_loss(jnp.asarray(scores), None,
+                             jnp.ones(64, jnp.float32))
+    np.testing.assert_allclose(float(ours_bpr), ref_bpr, rtol=1e-5)
+
+    w, m = 150.0, 0.4
+    ref_ccl = ref_mod.ccl_loss(t[:, 0], t[:, 1:], w, m,
+                               reduction=True).item()
+    ours_ccl, _ = L.ccl_loss(jnp.asarray(scores), None,
+                             jnp.ones(64, jnp.float32), w, m)
+    np.testing.assert_allclose(float(ours_ccl), ref_ccl, rtol=1e-5)
+
+
+def test_full_catalog_rank_parity(ref_modules):
+    """One-vs-all rank semantics: the reference masks history to NINF,
+    relocates the target score to slot 0 and counts strictly-greater entries
+    with its numba get_rank (evaluator_abc.py:249-265 + onepos.py:20-31);
+    our fused onepos_rank_full_catalog must produce the same ranks."""
+    onepos, _, _ = ref_modules
+    import jax
+    import jax.numpy as jnp
+
+    from unirec_tpu.ops import metrics as M
+
+    rng = np.random.default_rng(3)
+    B, N, C = 64, 500, 30
+    scores = rng.normal(size=(B, N)).astype(np.float64) * 10
+    pos = rng.integers(1, N, size=B)
+    hist = rng.integers(1, N, size=(B, C)).astype(np.int64)
+    hist_len = rng.integers(0, C + 1, size=B).astype(np.int64)
+
+    # reference oracle: apply the documented masking steps, rank with the
+    # reference's own get_rank kernel
+    NINF = -9999.0
+    S = scores.copy()
+    for i in range(B):
+        target = S[i, pos[i]]
+        S[i, hist[i, : hist_len[i]]] = NINF
+        S[i, 0] = target
+        S[i, pos[i]] = NINF
+        S[i, 0] = target
+    ref_rank = onepos.get_rank(S)
+
+    rank, _ = M.onepos_rank_full_catalog(
+        jnp.asarray(scores), jnp.asarray(pos), jnp.asarray(hist),
+        jnp.asarray(hist_len), jax.random.PRNGKey(0))
+    # exclude rows where the positive itself is inside the masked history:
+    # there the reference's slot trick preserves the pre-mask target score,
+    # which our capture-before-mask also does — include all rows
+    np.testing.assert_array_equal(np.asarray(rank), np.asarray(ref_rank))
