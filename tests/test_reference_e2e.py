@@ -1,0 +1,138 @@
+"""End-to-end behavioral parity: run the REFERENCE (torch) pipeline and
+ours on the same synthetic dataset with the same hyperparameters, and
+require our metrics to be at least as good (within noise) as the
+reference's.
+
+The reference is executed read-only from /root/reference with small
+environment shims (numba pass-through, torch>=2.6 compat for
+ReduceLROnPlateau's removed ``verbose`` kwarg and torch.load's
+weights_only default). Metric definitions are already proven identical in
+test_reference_parity.py; this covers the full train->eval pipeline.
+"""
+import copy
+import functools
+import importlib.machinery
+import os
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REFERENCE = "/root/reference"
+
+
+def _stub(name, attrs=None):
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    for k, v in (attrs or {}).items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+@pytest.fixture(scope="module")
+def reference_env(tmp_path_factory):
+    if "numba" not in sys.modules or not hasattr(sys.modules["numba"], "jit"):
+        numba = _stub("numba")
+
+        def jit(*a, **k):
+            if a and callable(a[0]):
+                return a[0]
+            return lambda f: f
+
+        numba.jit = jit
+        numba.prange = range
+    _stub("setproctitle", {"setproctitle": lambda *a, **k: None})
+    if "wandb" not in sys.modules:
+        _stub("wandb")
+
+    class _P:
+        def __init__(self, *a, **k):
+            pass
+
+    if "cvxpy" not in sys.modules:
+        _stub("cvxpy", {"Parameter": _P, "Variable": _P, "Maximize": _P,
+                        "Problem": _P, "sum": lambda *a, **k: None,
+                        "neg": lambda *a, **k: None,
+                        "max": lambda *a, **k: None, "GLPK": None})
+    _stub("feather", {"read_dataframe": pd.read_feather})
+    if not hasattr(np, "Inf"):
+        np.Inf = np.inf
+        np.NINF = -np.inf
+    import torch
+    if "verbose" not in str(torch.optim.lr_scheduler.ReduceLROnPlateau.__init__.__doc__ or ""):
+        base = torch.optim.lr_scheduler.ReduceLROnPlateau
+
+        class _RLP(base):
+            def __init__(self, *a, verbose=False, **k):
+                super().__init__(*a, **k)
+
+        torch.optim.lr_scheduler.ReduceLROnPlateau = _RLP
+    if not isinstance(torch.load, functools.partial):
+        torch.load = functools.partial(torch.load, weights_only=False)
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+    # the reference resolves dataset yaml from its config dir (read-only);
+    # give it a writable copy with the synth dataset registered
+    cfg_dir = str(tmp_path_factory.mktemp("refconfig"))
+    import shutil
+    shutil.copytree(os.path.join(REFERENCE, "unirec", "config"), cfg_dir,
+                    dirs_exist_ok=True)
+    with open(os.path.join(cfg_dir, "dataset", "synthref.yaml"), "w") as f:
+        f.write("n_users: 201\nn_items: 301\ngroup_size: -1\n"
+                "train_file_format: user-item\nvalid_file_format: user-item\n"
+                "test_file_format: user-item\n"
+                "user_history_file_format: user-item_seq\n")
+    return cfg_dir
+
+
+def _run_reference(cfg_dir, data_root, out_dir, **overrides):
+    from unirec.main import main as refmain
+    args = {
+        "config_dir": cfg_dir, "exp_name": "refrun", "model": "MF",
+        "dataloader": "BaseDataset", "dataset": "synthref",
+        "dataset_path": data_root, "output_path": out_dir,
+        "user_history_filename": "user_history",
+        "learning_rate": 0.01, "epochs": 5, "batch_size": 256,
+        "n_sample_neg_train": 9, "valid_protocol": "one_vs_all",
+        "test_protocol": "one_vs_all",
+        "history_mask_mode": "autoagressive",
+        "metrics": "['hit@5;10', 'ndcg@5;10']", "key_metric": "ndcg@5",
+        "loss_type": "bce", "has_user_emb": 1, "embedding_size": 32,
+        "shuffle_train": 1, "early_stop": -1, "seed": 2022, "verbose": 2,
+        "task": "train", "gpu_id": -1, "use_wandb": 0, "use_tensorboard": 0,
+        "num_workers": 0, "num_workers_test": 0,
+    }
+    args.update(overrides)
+    return {k: float(v) for k, v in refmain.run(args).items()}
+
+
+def _run_ours(data_root, out_dir, **overrides):
+    from tests.synth import BASE_CONF
+    from unirec_tpu.main import main
+    conf = copy.deepcopy(BASE_CONF)
+    conf.update(model="MF", dataloader="BaseDataset", has_user_emb=True,
+                learning_rate=0.01, epochs=5, loss_type="bce",
+                dataset_path=data_root, output_path=out_dir, task="train",
+                exp_name="ours")
+    conf.update(overrides)
+    return main.run(conf)
+
+
+@pytest.mark.parametrize("loss", ["bce", "bpr"])
+def test_mf_beats_or_matches_reference(reference_env, synth_dataset,
+                                       tmp_path, loss):
+    root, info = synth_dataset
+    ref = _run_reference(reference_env, root,
+                         os.path.join(str(tmp_path), f"ref-{loss}"),
+                         loss_type=loss)
+    ours = _run_ours(root, os.path.join(str(tmp_path), f"ours-{loss}"),
+                     loss_type=loss, exp_name=f"ours-{loss}")
+    # identical data + hyperparameters: we must not lose accuracy (the
+    # reference's own golden tolerance is ±0.05, test_seq_model.py:18-19)
+    for m in ("hit@5", "ndcg@5"):
+        assert ours[m] >= ref[m] - 0.05, (loss, m, ref, ours)
+    assert ours["hit@10"] > 0.0 and ref["hit@10"] > 0.0
