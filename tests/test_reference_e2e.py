@@ -160,3 +160,24 @@ def test_sasrec_matches_reference(reference_env, synth_dataset, tmp_path):
                      exp_name="ours-sas", **common)
     for m in ("hit@5", "ndcg@5", "hit@10", "ndcg@10"):
         assert ours[m] >= ref[m] - 0.05, (m, ref, ours)
+
+
+@pytest.mark.parametrize("model", ["EASE", "SAR", "UserCF"])
+def test_solver_models_exact_parity(reference_env, synth_dataset, tmp_path,
+                                    model):
+    """Closed-form solvers are deterministic: same interaction graph →
+    the reference's numpy/scipy solution and our on-device XLA solution
+    must produce (near-)identical one-vs-all metrics. (The reference's
+    AdmmSLIM crashes on modern scipy — csc_matrix.A was removed — so only
+    the three runnable solvers are compared.)"""
+    root, info = synth_dataset
+    ref = _run_reference(reference_env, root,
+                         os.path.join(str(tmp_path), f"ref-{model}"),
+                         model=model, dataloader="AERecDataset",
+                         n_sample_neg_train=0, exp_name=f"ref-{model}")
+    ours = _run_ours(root, os.path.join(str(tmp_path), f"ours-{model}"),
+                     model=model, dataloader="AERecDataset",
+                     n_sample_neg_train=0, exp_name=f"ours-{model}")
+    for m in ("hit@5", "hit@10", "ndcg@5", "ndcg@10"):
+        np.testing.assert_allclose(ours[m], ref[m], atol=2e-3,
+                                   err_msg=(model, m))
