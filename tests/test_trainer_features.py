@@ -113,3 +113,20 @@ def test_bfloat16_compute(synth_dataset, tmp_path):
     import jax
     for leaf in jax.tree_util.tree_leaves(params):
         assert leaf.dtype == np.float32
+
+
+def test_orbax_checkpoint_backend(synth_dataset, tmp_path):
+    """checkpoint_backend=orbax: sharded-capable parameter checkpoint +
+    sidecar; train -> test-from-checkpoint reproduces metrics exactly."""
+    root, info = synth_dataset
+    out = os.path.join(str(tmp_path), "orbax")
+    conf = _mf_conf(root, out, checkpoint_backend="orbax", epochs=3,
+                    exp_name="orb")
+    r1 = main.run(conf)
+    ckpt_dir = os.path.join(out, "checkpoint", "orb.pkl.orbax")
+    assert os.path.isdir(ckpt_dir), os.listdir(os.path.join(out, "checkpoint"))
+    conf2 = dict(conf)
+    conf2.update(task="test", model_file=ckpt_dir,
+                 output_path=os.path.join(str(tmp_path), "orbax-test"))
+    r2 = main.run(conf2)
+    assert abs(r1["ndcg@5"] - r2["ndcg@5"]) < 1e-6, (r1, r2)

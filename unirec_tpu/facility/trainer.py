@@ -311,7 +311,7 @@ class Trainer:
     # ------------------------------------------------------------ checkpoint
     def save_model(self, filename: str, cur_epoch: int = -1,
                    valid_result: Optional[dict] = None):
-        ckpt_util.save_checkpoint(filename, {
+        state = {
             "config": self.config,
             "cur_epoch": cur_epoch,
             "cur_step": self.cur_step,
@@ -319,7 +319,11 @@ class Trainer:
             "params": self.params,
             "constants": self.constants,
             "opt_state": self.opt_state,
-        })
+        }
+        if self.config.get("checkpoint_backend") == "orbax":
+            ckpt_util.save_checkpoint_orbax(filename, state)
+        else:
+            ckpt_util.save_checkpoint(filename, state)
         self.logger.info("Saved best model at epoch %d to %s", cur_epoch, filename)
 
     def load_model(self, filename: str, restore_optimizer: bool = False):

@@ -45,8 +45,49 @@ def save_checkpoint(path: str, state: Dict[str, Any], retries: int = 5):
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    if os.path.isdir(path) or os.path.isdir(path + ".orbax"):
+        return _load_orbax(path if os.path.isdir(path) else path + ".orbax")
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# ------------------------------------------------------------- orbax backend
+# The pickle backend gathers everything to one host. For row-sharded tables
+# (shard_embeddings on a multi-host mesh) use checkpoint_backend='orbax':
+# parameters are written as a sharded orbax checkpoint (each host saves its
+# own shards); config and optimizer state ride in a pickle sidecar.
+def save_checkpoint_orbax(path: str, state: Dict[str, Any]):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if not path.endswith(".orbax"):
+        path = path + ".orbax"
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "params"), state["params"])
+    side = {k: v for k, v in state.items() if k != "params"}
+    for k in ("constants", "opt_state"):
+        if side.get(k) is not None:
+            side[k] = _to_host(side[k])
+    if side.get("config") is not None:
+        side["config"] = {k: v for k, v in side["config"].items()
+                          if not k.startswith("_")}
+    with open(os.path.join(path, "side.pkl"), "wb") as f:
+        pickle.dump(side, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def _load_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(path, "side.pkl"), "rb") as f:
+        state = pickle.load(f)
+    with ocp.StandardCheckpointer() as ckptr:
+        state["params"] = ckptr.restore(os.path.join(os.path.abspath(path),
+                                                     "params"))
+    return state
 
 
 def load_model_freely(path: str):
