@@ -1,0 +1,104 @@
+"""Device-side batch augmentation: semantic equivalence with the host
+pipeline + end-to-end training."""
+import copy
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.synth import BASE_CONF
+from unirec_tpu.data.device_pipeline import DeviceAugmenter, RawIdBatcher
+from unirec_tpu.data.history import UserHistory
+from unirec_tpu.main import main
+
+
+def _history(n_users=50, n_items=200, seed=0):
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(5, 30, size=n_users).astype(np.int32)
+    cap = 30
+    items = np.zeros((n_users, cap), np.int32)
+    for u in range(n_users):
+        items[u, :lens[u]] = rng.integers(1, n_items, size=lens[u])
+    return UserHistory(items, lens)
+
+
+def test_negatives_valid():
+    hist = _history()
+    cfg = {"n_items": 200, "n_sample_neg_train": 8, "max_seq_len": 10,
+           "dataloader": "SeqRecDataset", "history_mask_mode": "autoregressive"}
+    aug = DeviceAugmenter(cfg, hist)
+    rng = np.random.default_rng(1)
+    uid = rng.integers(1, 50, size=64).astype(np.int32)
+    pos = rng.integers(1, 200, size=64).astype(np.int32)
+    batch = aug.augment({"user_id": jnp.asarray(uid), "item_id": jnp.asarray(pos),
+                         "weight": jnp.ones(64)}, jax.random.PRNGKey(0))
+    negs = np.asarray(batch["item_id"][:, 1:])
+    assert np.asarray(batch["item_id"][:, 0] == pos).all()
+    # no negative equals its row positive or appears in the user history
+    assert not (negs == pos[:, None]).any()
+    in_hist = hist.contains(uid, negs.astype(np.int64))
+    assert not in_hist[negs > 0].any() if in_hist.ndim == 1 else not in_hist[negs > 0].any()
+    assert np.asarray(batch["label"][:, 0] == 1).all()
+    assert np.asarray(batch["label"][:, 1:] == 0).all()
+
+
+def test_window_matches_host_seq_last():
+    """Deterministic (seq_last) truncation: device windows == host windows."""
+    hist = _history(seed=3)
+    cfg = {"n_items": 200, "n_sample_neg_train": 0, "max_seq_len": 8,
+           "dataloader": "SeqRecDataset", "history_mask_mode": "autoregressive",
+           "seq_last": 1}
+    aug = DeviceAugmenter(cfg, hist)
+    rng = np.random.default_rng(4)
+    uid = rng.integers(1, 50, size=40).astype(np.int32)
+    pos = rng.integers(1, 200, size=40).astype(np.int32)
+    batch = aug.augment({"user_id": jnp.asarray(uid), "item_id": jnp.asarray(pos),
+                         "weight": jnp.ones(40)}, jax.random.PRNGKey(0))
+    hseq, hlen, _ = hist.sequence_batch(uid, pos, 8, mask_mode="autoregressive",
+                                        seq_last=True)
+    np.testing.assert_array_equal(np.asarray(batch["item_seq"]), hseq)
+    np.testing.assert_array_equal(np.asarray(batch["item_seq_len"]), hlen)
+
+
+def test_window_matches_host_unorder():
+    hist = _history(seed=5)
+    cfg = {"n_items": 200, "n_sample_neg_train": 0, "max_seq_len": 8,
+           "dataloader": "SeqRecDataset", "history_mask_mode": "unorder"}
+    aug = DeviceAugmenter(cfg, hist)
+    rng = np.random.default_rng(6)
+    uid = rng.integers(1, 50, size=40).astype(np.int32)
+    pos = rng.integers(1, 200, size=40).astype(np.int32)
+    batch = aug.augment({"user_id": jnp.asarray(uid), "item_id": jnp.asarray(pos),
+                         "weight": jnp.ones(40)}, jax.random.PRNGKey(0))
+    hseq, hlen, _ = hist.sequence_batch(uid, pos, 8, mask_mode="unorder")
+    np.testing.assert_array_equal(np.asarray(batch["item_seq"]), hseq)
+    np.testing.assert_array_equal(np.asarray(batch["item_seq_len"]), hlen)
+
+
+def test_e2e_training_with_device_pipeline(synth_dataset, tmp_path):
+    """Full main.run with device_pipeline=1 learns like the host path."""
+    root, info = synth_dataset
+    conf = copy.deepcopy(BASE_CONF)
+    conf.update(model="SASRec", dataloader="SeqRecDataset",
+                loss_type="fullsoftmax", n_sample_neg_train=0, n_layers=1,
+                epochs=6, learning_rate=0.005, hidden_dropout_prob=0.1,
+                attn_dropout_prob=0.1, device_pipeline=1,
+                dataset_path=root, task="train",
+                output_path=os.path.join(str(tmp_path), "dp"))
+    result = main.run(conf)
+    assert result is not None
+    assert result["hit@5"] > 2 * 5.0 / 300.0, result
+
+
+def test_e2e_sampled_loss_device_pipeline(synth_dataset, tmp_path):
+    root, info = synth_dataset
+    conf = copy.deepcopy(BASE_CONF)
+    conf.update(model="MF", dataloader="BaseDataset", loss_type="bpr",
+                has_user_emb=True, device_pipeline=1, epochs=3,
+                dataset_path=root, task="train",
+                output_path=os.path.join(str(tmp_path), "dpmf"))
+    result = main.run(conf)
+    assert result["hit@5"] > 0.05, result

@@ -80,6 +80,7 @@ class Trainer:
         self.tx = build_optimizer(config)
         self.scheduler = build_scheduler(config)
         self.objective_controller = None  # MoRec hook
+        self._augmenter = None  # device-side batch augmentation hook
 
         # observability hooks (reference trainer.py:78-84,284-290,356-365)
         self._tb = None
@@ -123,6 +124,11 @@ class Trainer:
     def add_objective_controller(self, controller):
         self.objective_controller = controller
 
+    def set_device_augmenter(self, augmenter):
+        """Fuse negative sampling + history windowing into the train step
+        (data/device_pipeline.py); the batcher then yields raw id pairs."""
+        self._augmenter = augmenter
+
     def reset_evaluator(self, data_format=None, eval_protocol=None):
         self.evaluator = build_evaluator(self.config, self.model,
                                          eval_protocol, data_format, self.mesh)
@@ -155,8 +161,13 @@ class Trainer:
         model, tx = self.model, self.tx
         constants = self.constants
         frozen = self._frozen_mask()
+        augmenter = self._augmenter
 
         def step(params, opt_state, batch, rng):
+            if augmenter is not None:
+                rng, k_aug = jax.random.split(rng)
+                batch = augmenter.augment(batch, k_aug)
+
             def loss_fn(p):
                 variables = {"params": p}
                 if constants:
@@ -220,6 +231,12 @@ class Trainer:
             verbose: int = 1) -> Optional[Dict[str, float]]:
         logger = self.logger
         first_batch = next(iter(train_data))
+        if self._augmenter is not None:
+            # materialize one augmented batch so model init sees real shapes
+            jb = {k: jnp.asarray(v) for k, v in first_batch.items()}
+            aug = self._augmenter.augment(jb, jax.random.PRNGKey(0))
+            first_batch = {k: np.asarray(jax.device_get(v))
+                           for k, v in aug.items()}
         self.init_params(first_batch)
         if load_pretrained_model:
             if model_file is None:
@@ -265,6 +282,10 @@ class Trainer:
             for batch in train_data:
                 self._maybe_check_compliance(batch)
                 dev_batch = self.mesh.shard_batch(batch)
+                if self._augmenter is not None:
+                    # tables ride as jit operands (replicated), never as
+                    # inlined closure constants
+                    dev_batch = self._augmenter.with_state(dev_batch)
                 rng = jax.random.fold_in(self._rng, self._global_step)
                 if self.objective_controller is not None:
                     loss = self._morec_step(dev_batch, rng)

@@ -216,6 +216,20 @@ def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
                     driver, tcfg, train_ds, signal_batcher, history, item_pop,
                     features,
                     item_sampler=make_negative_sampler(tcfg, history, item_pop))
+            elif _device_pipeline_ok(config, train_ds, history, features):
+                # TPU-native data path: host feeds raw id pairs; sampling +
+                # history windows fuse into the jitted train step
+                from unirec_tpu.data.device_pipeline import (DeviceAugmenter,
+                                                             RawIdBatcher)
+                driver.set_device_augmenter(
+                    DeviceAugmenter(tcfg, history, item_pop))
+                cols = train_ds.cols
+                train_batcher = RawIdBatcher(
+                    cols["user_id"], cols["item_id"],
+                    int(tcfg.get("batch_size", 256)),
+                    seed=int(tcfg.get("seed", 2022)),
+                    shuffle=bool(tcfg.get("shuffle_train", 0)))
+                logger.info("device-side batch augmentation enabled")
             else:
                 train_batcher = make_train_batcher(train_ds, tcfg, history,
                                                    item_popularity=item_pop,
@@ -270,6 +284,25 @@ def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
             f.write("\t".join(result.keys()) + "\n")
             f.write("\t".join(f"{v:.6f}" for v in result.values()) + "\n")
     return result
+
+
+def _device_pipeline_ok(config, train_ds, history, features) -> bool:
+    """Device-side augmentation handles scalar-item rows with optional
+    sampled negatives + history windows; other shapes (grouped T4/T7 rows,
+    categorical features, time sequences, AE training) stay on the host
+    pipeline."""
+    if not int(config.get("device_pipeline", 0) or 0):
+        return False
+    if features is not None or int(config.get("time_seq", 0) or 0):
+        return False
+    item = train_ds.cols.get("item_id")
+    if item is None or item.ndim != 1 or "label" in train_ds.cols:
+        return False
+    if train_ds.is_sequential and history is None:
+        return False
+    if train_ds.fmt == "aerec-train":
+        return False
+    return True
 
 
 def _is_flax(cls) -> bool:
