@@ -42,6 +42,8 @@ class DeviceAugmenter:
         c = config
         self.n_items = int(c["n_items"])
         self.n_neg = int(c.get("n_sample_neg_train", 0) or 0)
+        if c.get("loss_type") == "fullsoftmax":  # catalog is the negative set
+            self.n_neg = 0
         self.oversample = max(int(c.get("neg_oversample_factor", 4)), 1)
         self.max_seq_len = int(c.get("max_seq_len", 10))
         self.mask_mode = c.get("history_mask_mode", "unorder")
