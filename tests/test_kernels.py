@@ -89,9 +89,10 @@ def test_sharded_catalog_topk_matches_dense():
     want_ids = np.argsort(-dense, axis=1)[:, :K]
 
     table, n_pad = place_item_table(items, mesh.mesh)
-    bias_p = jnp.concatenate([bias, jnp.full((n_pad - N,), -1e30)])
+    bias_p = jnp.concatenate([bias, jnp.zeros(n_pad - N)])
     vals, ids = sharded_catalog_topk(users, table, K, mesh.mesh,
-                                     item_bias=bias_p)
+                                     item_bias=bias_p, n_real=N)
+    assert (np.asarray(ids) < N).all()  # padded rows never win
     np.testing.assert_array_equal(np.sort(np.asarray(ids), axis=1),
                                   np.sort(want_ids, axis=1))
     np.testing.assert_allclose(
@@ -124,3 +125,46 @@ def test_dice_and_sequence_att_layer():
     out = att.apply(vars_, q, k, klen)
     assert out.shape == (B, T, H)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mmoe_and_modulate_hidden():
+    """Parameter-generator blocks from the reference inventory
+    (modules.py:623-731) — exercised even though no shipped model uses them
+    (the reference's zoo doesn't either)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unirec_tpu.models.modules import MMoEUnit, ModulateHidden
+
+    rng = np.random.default_rng(7)
+    z = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+    mmoe = MMoEUnit(input_size=8, output_size=6, emb_size=16, expert_num=5)
+    vars_ = mmoe.init(jax.random.PRNGKey(0), z)
+    patch = mmoe.apply(vars_, z)
+    assert patch.shape == (4, 6, 8)
+
+    x = jnp.asarray(rng.normal(size=(4, 3, 8)), jnp.float32)
+    mod = ModulateHidden(input_size=8, emb_size=16)
+    vars_ = mod.init(jax.random.PRNGKey(1), x, z)
+    out = mod.apply(vars_, x, z)
+    assert out.shape == (4, 3, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_load_xlearn_fm(tmp_path):
+    """xlearn text-checkpoint import (reference fm.py:133-152 format)."""
+    import os
+
+    from unirec_tpu.models.rank import load_xlearn_fm
+    n_feats, d = 5, 3
+    lines = ["bias: 0.25"]
+    lines += [f"i_{i}: {0.1 * i}" for i in range(n_feats)]
+    lines += [f"v_{i}: " + " ".join(str(0.01 * (i + j)) for j in range(d))
+              for i in range(n_feats)]
+    p = os.path.join(str(tmp_path), "fm.txt")
+    open(p, "w").write("\n".join(lines))
+    params = load_xlearn_fm(p, n_feats, d)
+    assert params["fm_linear_bias"][0] == 0.25
+    assert params["fm_linear_weight"].shape == (n_feats,)
+    assert params["fm_embedding"]["embedding"].shape == (n_feats, d)
+    np.testing.assert_allclose(params["fm_linear_weight"][2], 0.2)

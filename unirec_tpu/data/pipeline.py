@@ -191,24 +191,43 @@ class PrefetchBatcher:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         _END = object()
         err: list = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for b in self.batcher:
-                    q.put(b)
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface worker errors in the consumer
                 err.append(e)
             finally:
-                q.put(_END)
-
+                # the END sentinel must not be dropped when the queue is full,
+                # or the consumer blocks forever after draining it
+                while not stop.is_set():
+                    try:
+                        q.put(_END, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                yield item
+        finally:
+            # abandoned iterators (e.g. `next(iter(...))` to peek a batch)
+            # must not leak a blocked producer thread
+            stop.set()
+            t.join(timeout=5)
         if err:
             raise err[0]
 

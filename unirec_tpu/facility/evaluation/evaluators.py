@@ -116,15 +116,11 @@ class OnePositiveEvaluator(_EvaluatorBase):
             return M.onepos_metrics(rank, scores.shape[1], tuple(self.base_names))
 
         def _user_scores(params, constants, item_emb, batch):
-            variables = self._variables(params, constants)
-            user_emb = self.model.apply(variables, batch, method="user_emb")
-            scores = user_emb @ item_emb.T
-            ub, ib = self.model.apply(variables, method="bias_terms")
-            if ib is not None:
-                scores = scores + ib[None, :]
-            if ub is not None:
-                scores = scores + ub[batch["user_id"]][:, None]
-            return scores / float(self.config.get("tau", 1.0))
+            from unirec_tpu.ops.topk import full_catalog_scores
+            return full_catalog_scores(self.model,
+                                       self._variables(params, constants),
+                                       batch, item_emb,
+                                       float(self.config.get("tau", 1.0)))
 
         @functools.partial(jax.jit, static_argnames=("n_items", "topk"))
         def _ova_metrics(scores, pos, hist_items, hist_len, key, n_items,
@@ -145,7 +141,11 @@ class OnePositiveEvaluator(_EvaluatorBase):
         return self.model.apply(None, method="all_item_emb")
 
     def evaluate(self, batcher, params, constants=None) -> Dict[str, float]:
-        group_names = [m for m in self.metric_names if m != "auc"]
+        # the MoRec metric family (rhit/rndcg/pop-kl/least-misery) needs the
+        # full-catalog path; under grouped (one_vs_k) evaluation those names
+        # are skipped — the reference's grouped path likewise cannot supply
+        # the pos_itemids they require (onepos.py:108-110)
+        group_names = list(self.base_names)
         rows: Dict[str, List[np.ndarray]] = {m: [] for m in group_names}
         weights = []
         # 'auc' is a single global ROC-AUC over every (score, label) pair

@@ -77,6 +77,9 @@ def load_alignment_distribution(item_meta: Dict[str, np.ndarray],
     from training-set popularity per align group."""
     if "align_group" not in item_meta:
         return None
+    if align_dist_filepath is None and item_popularity is None:
+        # no distribution source (pop-kl/alignment not in play) — skip
+        return None
     i2g = item_meta["align_group"]
     max_gid = int(i2g.max())
     probs = np.zeros(max_gid)
@@ -112,6 +115,15 @@ def build_morec(driver, config, train_ds, valid_batcher, history,
         config["_item_meta_morec"] = item_meta
         config["_alignment_dist"] = align_dist
 
+    # every objective block must stay intact when the mesh shards the batch:
+    # round batch_size up to a multiple of the data-axis size so
+    # mesh.shard_batch never appends padding rows (padding would land inside
+    # the last block and shift the per-objective loss split)
+    n_data = getattr(getattr(driver, "mesh", None), "n_data", 1)
+    B = int(config.get("batch_size", 256))
+    if B % n_data:
+        config = dict(config)
+        config["batch_size"] = B + (n_data - B % n_data)
     batcher = MoRecBatcher(train_ds, config, history=history,
                            sampler=item_sampler, features=features,
                            item_meta=item_meta, align_dist=align_dist,

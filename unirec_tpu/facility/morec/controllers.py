@@ -246,9 +246,16 @@ def build_controller(config, n_objectives: int):
         return StaticWeightSolver(n_objectives + 1, weights)
     if kind == "Pareto":
         return MGDASolver(n_objectives + 1)
-    inner = (MGDASolver(n_objectives) if kind == "PIX"
-             else StaticWeightSolver(n_objectives,
-                                     weights if n_objectives > 1 else [1.0]))
+    if kind == "PIX":
+        inner = MGDASolver(n_objectives)
+    else:  # PID: static inner weights over the non-accuracy objectives
+        if n_objectives == 1:
+            weights = [1.0]
+        elif weights is not None and len(weights) != n_objectives:
+            # the default 3-entry weights only fit 3 objectives; fall back
+            # to uniform rather than crash inside the jitted step
+            weights = None
+        inner = StaticWeightSolver(n_objectives, weights)
     return PIXController(float(config.get("morec_expect_loss", 0.2)),
                          float(config.get("morec_beta_min", 0.6)),
                          float(config.get("morec_beta_max", 1.3)),

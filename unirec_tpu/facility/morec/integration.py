@@ -28,6 +28,26 @@ def _block_losses(per_row: jnp.ndarray, weight: jnp.ndarray, n_blocks: int):
     return (pr * w).sum(-1) / jnp.maximum(w.sum(-1), 1.0)
 
 
+def _pi_update(state, acc_loss, cfg):
+    """Device-side PI controller step (the exact arithmetic of
+    controllers.PIController.control); state = {beta, integral, t}."""
+    e = cfg["expect_loss"] - acc_loss
+    P = cfg["K_p"] / (1.0 + jnp.exp(e))
+    in_range = (state["beta"] >= cfg["beta_min"]) & \
+        (state["beta"] <= cfg["beta_max"])
+    I_new = jnp.where(in_range, state["integral"] - cfg["K_i"] * e,
+                      state["integral"])
+    beta_new = jnp.clip(P + I_new + cfg["beta_min"],
+                        cfg["beta_min"], cfg["beta_max"])
+    active = state["t"] < cfg["max_iter"]
+    new_state = {
+        "beta": jnp.where(active, beta_new, state["beta"]),
+        "integral": jnp.where(active, I_new, state["integral"]),
+        "t": state["t"] + active.astype(state["t"].dtype),
+    }
+    return jnp.minimum(new_state["beta"], cfg["beta_max"]), new_state
+
+
 def _ensure_compiled(trainer, n_blocks: int):
     if getattr(trainer, "_morec_fns", None) is not None:
         return trainer._morec_fns
@@ -57,12 +77,7 @@ def _ensure_compiled(trainer, n_blocks: int):
              for leaf in jax.tree_util.tree_leaves(jac)], axis=1)
         return flat @ flat.T  # [k, k] Gram
 
-    def weighted_step(params, opt_state, batch, rng, weights):
-        def loss_fn(p):
-            vec = loss_vec_fn(p, batch, rng)
-            return jnp.sum(weights * vec), vec
-
-        (loss, vec), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    def _apply_update(params, opt_state, grads, loss):
         is_finite = jnp.isfinite(loss)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
@@ -71,10 +86,40 @@ def _ensure_compiled(trainer, n_blocks: int):
         opt_out = jax.tree_util.tree_map(
             lambda new, old: jnp.where(is_finite, new, old)
             if new.shape == old.shape else new, new_opt, opt_state)
+        return params_out, opt_out
+
+    def weighted_step(params, opt_state, batch, rng, weights):
+        def loss_fn(p):
+            vec = loss_vec_fn(p, batch, rng)
+            return jnp.sum(weights * vec), vec
+
+        (loss, vec), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        params_out, opt_out = _apply_update(params, opt_state, grads, loss)
         return params_out, opt_out, loss, vec
 
+    def pi_step(params, opt_state, batch, rng, inner_w, pi_state, pi_cfg, lam):
+        """PI(X with static inner) fused into ONE forward+backward: beta is
+        computed on device from the current accuracy-block loss, treated as
+        a constant for the gradient (the reference detaches it,
+        trainer.py:506-508)."""
+
+        def loss_fn(p):
+            vec = loss_vec_fn(p, batch, rng)
+            beta, new_state = _pi_update(pi_state,
+                                         jax.lax.stop_gradient(vec[-1]),
+                                         pi_cfg)
+            loss = lam * jnp.sum(inner_w * vec[:-1]) + \
+                jax.lax.stop_gradient(beta) * vec[-1]
+            return loss, (vec, new_state)
+
+        (loss, (vec, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        params_out, opt_out = _apply_update(params, opt_state, grads, loss)
+        return params_out, opt_out, loss, vec, new_state
+
     step = jax.jit(weighted_step, donate_argnums=(0, 1))
-    trainer._morec_fns = (eval_loss_vec, eval_gram, step)
+    pstep = jax.jit(pi_step, donate_argnums=(0, 1))
+    trainer._morec_fns = (eval_loss_vec, eval_gram, step, pstep)
     return trainer._morec_fns
 
 
@@ -84,30 +129,58 @@ def morec_train_step(trainer, batch, rng):
     controller = trainer.objective_controller
     sampler = trainer._morec_sampler
     n_blocks = sampler.n_blocks
+    n_rows = int(batch["weight"].shape[0])
+    if n_rows % n_blocks:
+        raise ValueError(
+            f"MoRec batch has {n_rows} rows, not divisible into {n_blocks} "
+            f"objective blocks — batch padding must not split blocks (use a "
+            f"batch_size that is a multiple of the mesh data-axis size)")
     lam = float(trainer.config.get("morec_lambda", 0.2))
-    eval_loss_vec, eval_gram, step = _ensure_compiled(trainer, n_blocks)
+    eval_loss_vec, eval_gram, step, pi_step = _ensure_compiled(trainer, n_blocks)
 
     name = controller.__class__.__name__
+    needs_grads = getattr(controller, "needs_grads", False)
+    if (name == "PIXController" or name == "PIController") and not needs_grads:
+        # common path (PID default wiring): PI beta + static inner weights
+        # fuse into one forward+backward on device
+        if getattr(trainer, "_morec_pi_state", None) is None:
+            trainer._morec_pi_state = {
+                "beta": jnp.asarray(0.0), "integral": jnp.asarray(0.0),
+                "t": jnp.asarray(0, jnp.int32)}
+            trainer._morec_pi_cfg = {
+                "expect_loss": jnp.asarray(controller.expect_loss),
+                "beta_min": jnp.asarray(controller.beta_min),
+                "beta_max": jnp.asarray(controller.beta_max),
+                "K_p": jnp.asarray(controller.K_p),
+                "K_i": jnp.asarray(controller.K_i),
+                "max_iter": jnp.asarray(controller._max_iter, jnp.int32)}
+        if name == "PIXController":
+            inner_w = np.asarray(
+                controller.pareto_solve(None, np.zeros(n_blocks - 1)),
+                np.float32)
+        else:
+            inner_w = np.full(n_blocks - 1, 1.0 / (n_blocks - 1), np.float32)
+        params, opt_state, loss, _, trainer._morec_pi_state = pi_step(
+            trainer.params, trainer.opt_state, batch, rng,
+            jnp.asarray(inner_w), trainer._morec_pi_state,
+            trainer._morec_pi_cfg, lam)
+        trainer.params, trainer.opt_state = params, opt_state
+        return loss, params, opt_state
+
     if name.endswith("Solver"):
-        gram = None
-        if controller.needs_grads:
+        if needs_grads:
             gram = np.asarray(eval_gram(trainer.params, batch, rng))
-        vec = np.asarray(eval_loss_vec(trainer.params, batch, rng))
-        weights = np.asarray(controller.solve(gram, vec), np.float32)
-    elif name == "PIXController":
+            vec = np.asarray(eval_loss_vec(trainer.params, batch, rng))
+            weights = np.asarray(controller.solve(gram, vec), np.float32)
+        else:  # static weights need no device round-trip at all
+            weights = np.asarray(
+                controller.solve(None, np.zeros(n_blocks)), np.float32)
+    elif name == "PIXController":  # gradient-based inner (MGDA)
         vec = np.asarray(eval_loss_vec(trainer.params, batch, rng))
         beta = controller.control(vec[-1])
-        if controller.needs_grads:
-            gram = np.asarray(eval_gram(trainer.params, batch, rng))[:-1, :-1]
-        else:
-            gram = None
+        gram = np.asarray(eval_gram(trainer.params, batch, rng))[:-1, :-1]
         w = np.asarray(controller.pareto_solve(gram, vec[:-1]), np.float64)
         weights = np.concatenate([lam * w, [beta]]).astype(np.float32)
-    elif name == "PIController":
-        vec = np.asarray(eval_loss_vec(trainer.params, batch, rng))
-        beta = controller.control(vec[-1])
-        weights = np.full(n_blocks, lam / (n_blocks - 1), np.float32)
-        weights[-1] = beta
     else:
         raise ValueError(f"unsupported controller {name}")
 
@@ -131,15 +204,14 @@ def gather_topk(trainer, valid_batcher, k: int) -> Tuple[np.ndarray, np.ndarray]
             v["constants"] = constants
         return v
 
+    tau = float(trainer.config.get("tau", 1.0))
+
     @jax.jit
     def topk_fn(params, batch, item_emb, hist_items, hist_len, pos):
-        user_emb = model.apply(variables(params), batch, method="user_emb")
-        scores = user_emb @ item_emb.T
-        ub, ib = model.apply(variables(params), method="bias_terms")
-        if ib is not None:
-            scores = scores + ib[None, :]
-        if ub is not None:
-            scores = scores + ub[batch["user_id"]][:, None]
+        from unirec_tpu.ops.topk import full_catalog_scores
+        # tau/bias handling matches model.topk (recommender.py:149-197)
+        scores = full_catalog_scores(model, variables(params), batch,
+                                     item_emb, tau)
         B = scores.shape[0]
         rows = jnp.arange(B)
         cap = hist_items.shape[1]

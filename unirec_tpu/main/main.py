@@ -101,22 +101,24 @@ def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
     out_path = config.get("output_path") or os.path.join(".", "output", exp_name)
     config["output_path"] = out_path
     os.makedirs(out_path, exist_ok=True)
+
+    # multi-host rendezvous MUST run before anything touches the JAX backend
+    # (jax.distributed.initialize precondition) — so before process_index()
+    # in setup_logger below. Replaces torchrun (reference main.py:451-463).
+    from unirec_tpu.core.distributed import initialize_distributed
+    multi_host = initialize_distributed(config)
+
     import jax
     logger = setup_logger(exp_name, out_path, config.get("state", "INFO"),
                           is_main_process=jax.process_index() == 0)
     logger.info("task=%s model=%s dataset=%s", task, config["model"],
                 config.get("dataset"))
-
-    np.random.seed(int(config.get("seed", 2022)))
-
-    # multi-host: all processes enter run(); rendezvous replaces torchrun
-    # (reference main.py:451-463)
-    from unirec_tpu.core.distributed import initialize_distributed
-    if initialize_distributed(config):
-        import jax
+    if multi_host:
         logger.info("multi-host: process %d/%d, %d devices total",
                     jax.process_index(), jax.process_count(),
                     len(jax.devices()))
+
+    np.random.seed(int(config.get("seed", 2022)))
 
     # kernel-level trace (TPU equivalent of the reference's whole-run
     # cProfile, main.py:490-499): view with tensorboard or xprof

@@ -46,14 +46,8 @@ def get_topk_recommendations(config, model, params, constants,
     tau = float(config.get("tau", 1.0))
 
     def scores_fn(p, batch, item_emb):
-        user_emb = model.apply(variables(p), batch, method="user_emb")
-        scores = user_emb @ item_emb.T
-        ub, ib = model.apply(variables(p), method="bias_terms")
-        if ib is not None:
-            scores = scores + ib[None, :]
-        if ub is not None:
-            scores = scores + ub[batch["user_id"]][:, None]
-        return scores / tau
+        from unirec_tpu.ops.topk import full_catalog_scores
+        return full_catalog_scores(model, variables(p), batch, item_emb, tau)
 
     def topk_fn(p, batch, item_emb, hist_items, hist_len, target):
         scores = scores_fn(p, batch, item_emb)

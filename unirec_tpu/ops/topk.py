@@ -20,20 +20,38 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def full_catalog_scores(model, variables, batch, item_emb, tau: float = 1.0):
+    """Shared full-catalog scoring: user emb × item table + bias terms / tau
+    (the one definition used by the evaluators, reco_topk and the MoRec
+    signal gatherer — reference recommender.py:46-96 semantics)."""
+    user_emb = model.apply(variables, batch, method="user_emb")
+    scores = user_emb @ item_emb.T
+    ub, ib = model.apply(variables, method="bias_terms")
+    if ib is not None:
+        scores = scores + ib[None, :]
+    if ub is not None:
+        scores = scores + ub[batch["user_id"]][:, None]
+    return scores / tau
+
+
 def sharded_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray,
                          k: int, mesh: Mesh,
                          item_bias: Optional[jnp.ndarray] = None,
-                         axis: str = "model") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                         axis: str = "model",
+                         n_real: Optional[int] = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(values [B, k], global item ids [B, k]) for row-sharded item_emb.
 
     user_emb: [B, D] (replicated); item_emb: [N, D] sharded over ``axis``.
-    N must be divisible by the axis size (pad the table with zero rows —
-    padding ids score 0 and never enter a real top-k).
+    N must be divisible by the axis size; pass ``n_real`` (the unpadded item
+    count from ``place_item_table``) so zero-padded rows are masked to -inf
+    and can never outrank real items.
     """
     n_shards = mesh.shape[axis]
     N = item_emb.shape[0]
     assert N % n_shards == 0, (N, n_shards)
     n_local = N // n_shards
+    n_real = N if n_real is None else int(n_real)
 
     bias_spec = P(axis) if item_bias is not None else P()
 
@@ -41,8 +59,10 @@ def sharded_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray,
         local = jnp.dot(u, it.T, preferred_element_type=jnp.float32)
         if item_bias is not None:
             local = local + ib[None, :]
-        v, i = jax.lax.top_k(local, k)                      # [B, k] local
         offset = jax.lax.axis_index(axis) * n_local
+        gids = offset + jnp.arange(n_local)
+        local = jnp.where(gids[None, :] >= n_real, -jnp.inf, local)
+        v, i = jax.lax.top_k(local, k)                      # [B, k] local
         i = i + offset
         # k candidates per shard cross the ICI; [n_shards*k] per row total
         vs = jax.lax.all_gather(v, axis, axis=1)            # [B, S, k]
