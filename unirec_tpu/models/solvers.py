@@ -77,6 +77,21 @@ class SolverRecommender:
             setattr(self, k, v)
 
 
+def _regularized_inverse(G: np.ndarray, cfg) -> np.ndarray:
+    """Dense [N, N] inverse. On device (one jit LU) while the LU panel fits
+    the chip's scoped VMEM (~N<=14k on v5e, 16 MB scoped limit); above that
+    XLA's factorization lowering cannot tile it, so LAPACK on host takes
+    over — the O(N^2) scoring afterwards still runs on the MXU."""
+    n = G.shape[0]
+    limit = int(cfg.get("solver_device_inverse_max", 12_000))
+    if n <= limit:
+        try:
+            return np.asarray(jax.jit(jnp.linalg.inv)(jnp.asarray(G)))
+        except Exception:  # backend-specific memory limits → host fallback
+            pass
+    return np.linalg.inv(G)
+
+
 def _edge_normalized(graph: ssp.csr_matrix, edge_norm: str) -> ssp.csr_matrix:
     """sqrt-degree edge normalization (sar.py:20-33)."""
     if edge_norm == EdgeNormType.NONE.value:
@@ -96,16 +111,19 @@ class EASE(SolverRecommender):
     single device program (Gram matmul on the MXU + LU inverse)."""
 
     def solve(self, graph: ssp.csr_matrix):
-        R = jnp.asarray(graph.toarray().astype(np.float32))
         l2 = float(self.cfg.get("l2_coef", 200))
+        # Gram via sparse x sparse on host (cheap; avoids densifying the
+        # [n_users, n_items] matrix the reference materializes, ease.py:54) —
+        # only the [n_items, n_items] Gram ships to the device
+        G = (graph.T @ graph).toarray().astype(np.float32)
+        G[np.diag_indices_from(G)] += l2
+        P = _regularized_inverse(G, self.cfg)
 
         @jax.jit
-        def _solve(R):
-            G = R.T @ R + l2 * jnp.eye(R.shape[1], dtype=R.dtype)
-            P = jnp.linalg.inv(G)
+        def _finish(P):
             B = P / (-jnp.diag(P))[None, :]
             return B - jnp.diag(jnp.diag(B))
-        self.item_similarity = np.asarray(_solve(R))
+        self.item_similarity = np.asarray(_finish(jnp.asarray(P)))
         self.user_item = graph.tocsr()
 
 
@@ -121,15 +139,15 @@ class AdmmSLIM(SolverRecommender):
         l2 = float(cfg.get("l2_coef", 400.0)) * 2.0
         alpha = float(cfg.get("item_spec_reg", 0.5))
         n_iter = int(cfg.get("epochs", 100))
-        X = jnp.asarray(graph.toarray().astype(np.float32))
+        # host-sparse Gram + means; only [N, N] matrices touch the device
+        XtX_host = (graph.T @ graph).toarray().astype(np.float32)
+        item_means = np.squeeze(np.asarray(graph.mean(axis=0))).astype(np.float32)
+        A = XtX_host + np.diag(l2 * np.power(item_means, alpha)).astype(np.float32)
+        A[np.diag_indices_from(A)] += rho
+        P_host = _regularized_inverse(A, cfg)
 
         @jax.jit
-        def _solve(X):
-            item_means = X.mean(axis=0)
-            XtX = X.T @ X
-            delta = l2 * jnp.diag(jnp.power(item_means, alpha)) + \
-                rho * jnp.eye(X.shape[1], dtype=X.dtype)
-            P = jnp.linalg.inv(XtX + delta)
+        def _solve(P, XtX):
             B_aux = P @ XtX
 
             def body(_, carry):
@@ -148,7 +166,8 @@ class AdmmSLIM(SolverRecommender):
             C, _ = jax.lax.fori_loop(0, n_iter, body, (C0, jnp.zeros_like(XtX)))
             return C
 
-        self.item_similarity = np.asarray(_solve(X))
+        self.item_similarity = np.asarray(_solve(jnp.asarray(P_host),
+                                                 jnp.asarray(XtX_host)))
         self.user_item = graph.tocsr()
 
 
@@ -170,12 +189,12 @@ class SLIM(SolverRecommender):
         l1 = float(cfg.get("l1_coef", 0.004))
         l2 = float(cfg.get("l2_coef", 0.098))
         sweeps = min(int(cfg.get("epochs", 100)), int(cfg.get("slim_max_sweeps", 30)))
-        X = jnp.asarray(graph.toarray().astype(np.float32))
+        # coordinate descent only touches the Gram — built host-sparse
+        G_host = (graph.T @ graph).toarray().astype(np.float32)
         n = float(graph.shape[0])
 
         @jax.jit
-        def _solve(X):
-            G = X.T @ X                       # [N, N] Gram
+        def _solve(G):
             N = G.shape[0]
             diag = jnp.diag(G)
             denom = diag + 2.0 * n * l2
@@ -193,7 +212,7 @@ class SLIM(SolverRecommender):
 
             return jax.lax.fori_loop(0, sweeps, sweep, jnp.zeros_like(G))
 
-        self.item_similarity = np.asarray(_solve(X))
+        self.item_similarity = np.asarray(_solve(jnp.asarray(G_host)))
         self.user_item = graph.tocsr()
 
 
