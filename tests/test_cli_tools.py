@@ -82,3 +82,29 @@ def test_cli_dispatch(trained_ckpt, tmp_path, capsys):
                    "--exp_name", "clitest2"])
     assert rc == 0
     assert "hit@5" in capsys.readouterr().out
+
+
+def test_cli_as_subprocess(synth_dataset, tmp_path):
+    """The console entry point works as a real process (packaging check)."""
+    import subprocess
+    import sys as _sys
+    root, info = synth_dataset
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [_sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from unirec_tpu import cli; cli.main(["
+         "'train','--model','MF','--dataloader','BaseDataset',"
+         f"'--dataset_path','{root}',"
+         f"'--output_path','{os.path.join(str(tmp_path), 'cliproc')}',"
+         "'--loss_type','bpr','--has_user_emb','1',"
+         "'--n_sample_neg_train','9','--epochs','1',"
+         "'--test_protocol','one_vs_all','--valid_protocol','one_vs_all',"
+         "'--user_history_filename','user_history',"
+         "'--metrics','[\\'hit@5\\']','--key_metric','hit@5',"
+         "'--exp_name','cliproc'])"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])
+    assert "hit@5" in out.stdout

@@ -181,3 +181,29 @@ def test_solver_models_exact_parity(reference_env, synth_dataset, tmp_path,
     for m in ("hit@5", "hit@10", "ndcg@5", "ndcg@10"):
         np.testing.assert_allclose(ours[m], ref[m], atol=2e-3,
                                    err_msg=(model, m))
+
+
+@pytest.mark.parametrize("model,loader,extra", [
+    ("GRU", "SeqRecDataset", {"loss_type": "fullsoftmax",
+                              "n_sample_neg_train": 0,
+                              "history_mask_mode": "autoregressive",
+                              "max_seq_len": 10, "hidden_size": 32}),
+    ("MultiVAE", "AERecDataset", {"n_sample_neg_train": 0}),
+])
+def test_other_models_match_reference(reference_env, synth_dataset, tmp_path,
+                                      model, loader, extra):
+    """GRU (flax RNN vs torch GRU math) and MultiVAE pipeline parity."""
+    root, info = synth_dataset
+    common = dict(model=model, dataloader=loader, epochs=6,
+                  learning_rate=0.005, **extra)
+    ref_extra = {k: v for k, v in common.items() if k != "hidden_size" or
+                 model == "GRU"}
+    ref = _run_reference(reference_env, root,
+                         os.path.join(str(tmp_path), f"ref-{model}"),
+                         exp_name=f"ref-{model}", **ref_extra)
+    ours_extra = {k: v for k, v in common.items()
+                  if k not in ("history_mask_mode",)}
+    ours = _run_ours(root, os.path.join(str(tmp_path), f"ours-{model}"),
+                     exp_name=f"ours-{model}", **ours_extra)
+    for m in ("hit@5", "ndcg@5"):
+        assert ours[m] >= ref[m] - 0.05, (model, m, ref, ours)
