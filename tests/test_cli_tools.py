@@ -108,3 +108,20 @@ def test_cli_as_subprocess(synth_dataset, tmp_path):
         capture_output=True, text=True, env=env, timeout=300)
     assert out.returncode == 0, (out.stdout[-500:], out.stderr[-2000:])
     assert "hit@5" in out.stdout
+
+
+def test_reco_topk_sharded_matches_single(trained_ckpt, tmp_path):
+    """reco-topk over a row-sharded catalog (mesh_model=8) returns exactly
+    the single-device recommendations — the distributed serving path."""
+    root, ckpt, _ = trained_ckpt
+    id_file = os.path.join(str(tmp_path), "uids.txt")
+    np.savetxt(id_file, np.arange(1, 41), fmt="%i")
+    base = {"model_file": ckpt, "dataset_path": root, "dataset_name": id_file,
+            "user_history_filename": "user_history", "topk": 10}
+    single = reco_topk.do_topk_reco(
+        dict(base, output_path=os.path.join(str(tmp_path), "single.csv"),
+             mesh_data=1, mesh_model=1))
+    sharded = reco_topk.do_topk_reco(
+        dict(base, output_path=os.path.join(str(tmp_path), "sharded.csv"),
+             mesh_data=1, mesh_model=8))
+    np.testing.assert_array_equal(single, sharded)

@@ -33,8 +33,12 @@ from unirec_tpu.utils.logger import setup_logger
 
 def get_topk_recommendations(config, model, params, constants,
                              user_ids: np.ndarray, history: UserHistory,
-                             topk: int) -> np.ndarray:
-    """[n_users, topk] recommended item ids."""
+                             topk: int, mesh=None) -> np.ndarray:
+    """[n_users, topk] recommended item ids.
+
+    With a multi-shard 'model' mesh axis the item table is row-sharded and
+    top-k candidates merge across shards (ops/topk.py) — the catalog never
+    needs to fit one device."""
     def variables(p):
         v = {"params": p}
         if constants:
@@ -71,6 +75,32 @@ def get_topk_recommendations(config, model, params, constants,
 
     item_emb = model.apply(variables(params), method="all_item_emb")
 
+    # row-sharded serving path: the catalog lives sharded over the 'model'
+    # mesh axis; exact top-k merges k+C candidates per shard (ops/topk.py)
+    sharded = (mesh is not None and getattr(mesh, "n_model", 1) > 1
+               and traceable and last_item <= 0)
+    if sharded:
+        from unirec_tpu.ops.topk import masked_sharded_topk, place_item_table
+        n_items_real = int(item_emb.shape[0])
+        item_table, n_pad = place_item_table(jnp.asarray(item_emb), mesh.mesh)
+        _, ib = model.apply(variables(params), method="bias_terms")
+        bias = None
+        if ib is not None:
+            bias = jnp.concatenate(
+                [jnp.asarray(ib), jnp.zeros(n_pad - n_items_real)])
+
+        def sharded_topk_fn(p, batch, hist_items, hist_len):
+            # the per-user bias and tau shift/scale every column equally, so
+            # they cannot change the ranking; only the item bias matters
+            user_emb = model.apply(variables(p), batch, method="user_emb")
+            _, ids = masked_sharded_topk(user_emb, item_table,
+                                         hist_items, hist_len, topk,
+                                         mesh.mesh, item_bias=bias,
+                                         n_real=n_items_real)
+            return ids
+
+        sharded_topk_fn = jax.jit(sharded_topk_fn)
+
     item_file = config.get("item_file") or ""
     out_rows = []
     score_lines = []
@@ -99,6 +129,11 @@ def get_topk_recommendations(config, model, params, constants,
                     label = "1" if it == int(target[i]) else "0"
                     s = scores[i][it] if it > 0 else 0.0
                     score_lines.append(f"{int(u)}\t{it}\t{s}\t{label}\n")
+        elif sharded:
+            ids = np.asarray(sharded_topk_fn(params, jb,
+                                             jnp.asarray(hist_items),
+                                             jnp.asarray(hist_len)))[:n_real]
+            out_rows.append(ids)
         else:
             ids = np.asarray(topk_fn(params, jb, item_emb,
                                      jnp.asarray(hist_items),
@@ -130,8 +165,11 @@ def do_topk_reco(config: Dict) -> np.ndarray:
     df = file_io.load_table(os.path.join(dpath, fname))
     history = UserHistory.from_dataframe(df, int(config["n_users"]), fmt)
 
+    from unirec_tpu.core.mesh import create_mesh
+    mesh = create_mesh(config)
     res = get_topk_recommendations(config, model, params, constants, user_ids,
-                                   history, int(config.get("topk", 100)))
+                                   history, int(config.get("topk", 100)),
+                                   mesh=mesh)
     if config.get("item_file"):
         with open(out_path, "w") as f:
             f.writelines(res)

@@ -52,6 +52,9 @@ def sharded_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray,
     assert N % n_shards == 0, (N, n_shards)
     n_local = N // n_shards
     n_real = N if n_real is None else int(n_real)
+    if k > n_real:
+        raise ValueError(f"top-{k} requested from a {n_real}-item catalog")
+    k_local = min(k, n_local)  # a shard can contribute at most n_local items
 
     bias_spec = P(axis) if item_bias is not None else P()
 
@@ -62,10 +65,10 @@ def sharded_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray,
         offset = jax.lax.axis_index(axis) * n_local
         gids = offset + jnp.arange(n_local)
         local = jnp.where(gids[None, :] >= n_real, -jnp.inf, local)
-        v, i = jax.lax.top_k(local, k)                      # [B, k] local
+        v, i = jax.lax.top_k(local, k_local)                # [B, k_local]
         i = i + offset
-        # k candidates per shard cross the ICI; [n_shards*k] per row total
-        vs = jax.lax.all_gather(v, axis, axis=1)            # [B, S, k]
+        # k_local candidates per shard cross the ICI
+        vs = jax.lax.all_gather(v, axis, axis=1)            # [B, S, k_local]
         ids = jax.lax.all_gather(i, axis, axis=1)
         vs = vs.reshape(vs.shape[0], -1)
         ids = ids.reshape(ids.shape[0], -1)
@@ -84,6 +87,36 @@ def sharded_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray,
                        out_specs=(P(), P()), check_rep=False)
     ib = item_bias if item_bias is not None else jnp.zeros((N,), jnp.float32)
     return fn(user_emb, item_emb, ib)
+
+
+def masked_sharded_topk(user_emb, item_emb_sharded, hist_items, hist_len,
+                        k: int, mesh: Mesh,
+                        item_bias=None, axis: str = "model",
+                        n_real: Optional[int] = None,
+                        exclude_pad_item: bool = True):
+    """Exact top-k over a row-sharded catalog with user-history exclusion.
+
+    History masking is exact without any per-shard scatter: at most
+    ``hist_items.shape[1]`` candidates per row can be history (plus the
+    padding item), so fetching ``k + C (+1)`` sharded candidates and
+    filtering afterwards always leaves >= k valid survivors.
+    Returns (values [B, k], ids [B, k]).
+    """
+    C = hist_items.shape[1]
+    fetch = k + C + (1 if exclude_pad_item else 0)
+    if n_real is not None:
+        fetch = min(fetch, int(n_real))
+    vals, ids = sharded_catalog_topk(user_emb, item_emb_sharded, fetch, mesh,
+                                     item_bias=item_bias, axis=axis,
+                                     n_real=n_real)
+    valid_h = jnp.arange(C)[None, :] < hist_len[:, None]
+    hcols = jnp.where(valid_h, hist_items, -1)
+    banned = (ids[:, :, None] == hcols[:, None, :]).any(-1)
+    if exclude_pad_item:
+        banned |= ids == 0
+    keep_vals = jnp.where(banned, -jnp.inf, vals)
+    v2, sel = jax.lax.top_k(keep_vals, k)
+    return v2, jnp.take_along_axis(ids, sel, axis=1)
 
 
 def place_item_table(item_emb, mesh: Mesh, axis: str = "model"):
