@@ -168,3 +168,21 @@ def test_load_xlearn_fm(tmp_path):
     assert params["fm_linear_weight"].shape == (n_feats,)
     assert params["fm_embedding"]["embedding"].shape == (n_feats, d)
     np.testing.assert_allclose(params["fm_linear_weight"][2], 0.2)
+
+
+def test_flash_backward_multiblock():
+    """Gradients across multiple q/k blocks (L=256) match XLA."""
+    q, k, v, mask = _inputs(L=256, D=8, seed=9)
+    maskb = jnp.broadcast_to(mask, q.shape[:2] + mask.shape[2:])
+
+    def loss_flash(q, k, v):
+        return jnp.sum(A.flash_attention(q, k, v, maskb) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(A.xla_attention(q, k, v, mask) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
