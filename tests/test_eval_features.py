@@ -48,3 +48,44 @@ def test_sasrec_with_features(synth_dataset, tmp_path):
     result = main.run(conf)
     assert result is not None
     assert result["hit@5"] > 2 * 5.0 / 300.0, result
+
+
+def test_t1_1_explicit_max_len(synth_dataset, tmp_path):
+    """T1_1 (user-item-max_len) rows truncate the history to the explicit
+    per-row prefix length (adduserhistory.py:59-62 / history.py explicit
+    path) — the reference's continual-training format."""
+    import numpy as np
+    import pandas as pd
+    root, info = synth_dataset
+    hist = pd.read_pickle(os.path.join(root, "user_history.pkl"))
+    rows = []
+    rng = np.random.default_rng(5)
+    for u, seq in zip(hist.user_id, hist.item_seq):
+        n = int(rng.integers(2, len(seq)))
+        rows.append((u, int(seq[n]) if n < len(seq) else int(seq[-1]), n))
+    t11 = os.path.join(root, "t11_train.pkl")
+    pd.DataFrame(rows, columns=["user_id", "item_id", "max_len"]).to_pickle(t11)
+
+    conf = copy.deepcopy(BASE_CONF)
+    conf.update(model="SASRec", dataloader="SeqRecDataset",
+                loss_type="fullsoftmax", n_sample_neg_train=0, n_layers=1,
+                epochs=4, learning_rate=0.005, hidden_dropout_prob=0.1,
+                attn_dropout_prob=0.1,
+                data_train_name="t11_train",
+                train_file_format="user-item-max_len",
+                dataset_path=root, task="train",
+                output_path=os.path.join(str(tmp_path), "t11"))
+    result = main.run(conf)
+    assert result is not None and result["hit@5"] > 5.0 / 300.0, result
+
+    # window semantics: explicit max_len wins over occurrence search
+    from unirec_tpu.data.history import UserHistory
+    from unirec_tpu.utils import file_io
+    h = UserHistory.from_dataframe(
+        file_io.load_table(os.path.join(root, "user_history")), 201,
+        "user-item_seq")
+    seq, slen, _ = h.sequence_batch(
+        np.array([1, 2]), np.array([5, 7]), 6, mask_mode="autoregressive",
+        explicit_max_len=np.array([3, 10]))
+    assert slen[0] == 3 and slen[1] == 6
+    assert (seq[0][:3] == 0).all()  # left padding for the short prefix
