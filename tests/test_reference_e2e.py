@@ -183,12 +183,21 @@ def test_solver_models_exact_parity(reference_env, synth_dataset, tmp_path,
                                    err_msg=(model, m))
 
 
+_SEQ_COMMON = {"loss_type": "fullsoftmax", "n_sample_neg_train": 0,
+               "history_mask_mode": "autoregressive", "max_seq_len": 10,
+               "hidden_size": 32}
+
+
 @pytest.mark.parametrize("model,loader,extra", [
-    ("GRU", "SeqRecDataset", {"loss_type": "fullsoftmax",
-                              "n_sample_neg_train": 0,
-                              "history_mask_mode": "autoregressive",
-                              "max_seq_len": 10, "hidden_size": 32}),
+    ("GRU", "SeqRecDataset", dict(_SEQ_COMMON)),
     ("MultiVAE", "AERecDataset", {"n_sample_neg_train": 0}),
+    ("ConvFormer", "SeqRecDataset",
+     dict(_SEQ_COMMON, conv_size=4, n_layers=1)),
+    ("FASTConvFormer", "SeqRecDataset",
+     dict(_SEQ_COMMON, conv_size=4, n_layers=1)),
+    ("SVDPlusPlus", "SeqRecDataset", dict(_SEQ_COMMON, has_user_emb=1)),
+    ("AvgHist", "SeqRecDataset", dict(_SEQ_COMMON)),
+    ("AttHist", "SeqRecDataset", dict(_SEQ_COMMON)),
 ])
 def test_other_models_match_reference(reference_env, synth_dataset, tmp_path,
                                       model, loader, extra):
