@@ -198,3 +198,42 @@ def test_torch_checkpoint_import_conversion():
     ln = tree["trm_encoder"]["layer_0"]["feed_forward"]["LayerNorm"]
     assert "scale" in ln and "bias" in ln
     assert "scale" in tree["LayerNorm"]
+
+
+def test_morec_revenue_metric_parity(ref_modules):
+    """rhit/rndcg revenue weighting: identical per-row values vs the
+    reference evaluator with item meta attached (onepos.py:108-157)."""
+    onepos, _, _ = ref_modules
+    import pandas as pd
+
+    import jax.numpy as jnp
+
+    from unirec_tpu.ops import metrics as M
+
+    n_items = 50
+    rng = np.random.default_rng(2)
+    meta_w = np.round(np.random.default_rng(0).uniform(1, 10, n_items), 2)
+    meta = pd.DataFrame({
+        "item_id": np.arange(n_items), "weight": meta_w,
+        "fair_group": np.random.default_rng(1).integers(1, 4, n_items),
+    }).set_index("item_id")
+
+    ev = onepos.OnePositiveEvaluator(
+        "['hit@5', 'rhit@5', 'ndcg@5', 'rndcg@5']", group_size=-1,
+        config={"verbose": 0, "data_format": "user-item"})
+    ev.set_item_meta_morec(meta, None)
+    scores = rng.normal(size=(40, 20)) * 10
+    pos = rng.integers(1, n_items, size=40)
+    ref = ev.evaluate_with_scores(scores.copy(), pos_itemids=pos)
+
+    rank = np.asarray(M.onepos_rank_from_group(jnp.asarray(scores)))
+    prices = meta_w[pos]
+    ours = {
+        "hit@5": (rank < 5).astype(float),
+        "rhit@5": (rank < 5) * prices,
+        "ndcg@5": (rank < 5) / np.log2(rank + 2.0),
+        "rndcg@5": (rank < 5) / np.log2(rank + 2.0) * prices,
+    }
+    for m, v in ours.items():
+        np.testing.assert_allclose(v, np.asarray(ref[m], dtype=float),
+                                   rtol=1e-6, err_msg=m)
