@@ -72,6 +72,20 @@ def reference_env(tmp_path_factory):
         torch.optim.lr_scheduler.ReduceLROnPlateau = _RLP
     if not isinstance(torch.load, functools.partial):
         torch.load = functools.partial(torch.load, weights_only=False)
+    # sklearn>=1.6 returns a plain Python float from roc_auc_score; the
+    # reference treats it as a numpy scalar (e.g. evaluator merge paths).
+    import sklearn.metrics as _skm
+    if not getattr(_skm.roc_auc_score, "_np_wrapped", False):
+        _orig_auc = _skm.roc_auc_score
+        _wrapped = functools.wraps(_orig_auc)(
+            lambda *a, **k: np.float64(_orig_auc(*a, **k)))
+        _wrapped._np_wrapped = True
+        _skm.roc_auc_score = _wrapped
+    # scipy>=1.14 removed sparse.spmatrix.A (used by the reference's
+    # AdmmSLIM, admmslim.py:34-35); restore it as a toarray alias.
+    import scipy.sparse
+    if not hasattr(scipy.sparse.csr_matrix, "A"):
+        scipy.sparse.spmatrix.A = property(lambda self: self.toarray())
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
 
@@ -85,6 +99,19 @@ def reference_env(tmp_path_factory):
         f.write("n_users: 201\nn_items: 301\ngroup_size: -1\n"
                 "train_file_format: user-item\nvalid_file_format: user-item\n"
                 "test_file_format: user-item\n"
+                "user_history_file_format: user-item_seq\n")
+    fmt_rank = "user-item_group-label_group"
+    with open(os.path.join(cfg_dir, "dataset", "synthrank.yaml"), "w") as f:
+        f.write("n_users: 201\nn_items: 301\ngroup_size: -1\n"
+                f"train_file_format: {fmt_rank}\n"
+                f"valid_file_format: {fmt_rank}\n"
+                f"test_file_format: {fmt_rank}\n"
+                "user_history_file_format: user-item_seq\n")
+    fmt_fm = "label-index_group-value_group"
+    with open(os.path.join(cfg_dir, "dataset", "synthfm.yaml"), "w") as f:
+        f.write("n_users: 201\nn_items: 301\nn_feats: 503\ngroup_size: -1\n"
+                f"train_file_format: {fmt_fm}\nvalid_file_format: {fmt_fm}\n"
+                f"test_file_format: {fmt_fm}\n"
                 "user_history_file_format: user-item_seq\n")
     return cfg_dir
 
@@ -162,14 +189,13 @@ def test_sasrec_matches_reference(reference_env, synth_dataset, tmp_path):
         assert ours[m] >= ref[m] - 0.05, (m, ref, ours)
 
 
-@pytest.mark.parametrize("model", ["EASE", "SAR", "UserCF"])
+@pytest.mark.parametrize("model", ["EASE", "SAR", "UserCF", "AdmmSLIM"])
 def test_solver_models_exact_parity(reference_env, synth_dataset, tmp_path,
                                     model):
     """Closed-form solvers are deterministic: same interaction graph →
     the reference's numpy/scipy solution and our on-device XLA solution
-    must produce (near-)identical one-vs-all metrics. (The reference's
-    AdmmSLIM crashes on modern scipy — csc_matrix.A was removed — so only
-    the three runnable solvers are compared.)"""
+    must produce (near-)identical one-vs-all metrics. (AdmmSLIM needs the
+    scipy sparse ``.A`` shim in reference_env — modern scipy removed it.)"""
     root, info = synth_dataset
     ref = _run_reference(reference_env, root,
                          os.path.join(str(tmp_path), f"ref-{model}"),
@@ -178,8 +204,12 @@ def test_solver_models_exact_parity(reference_env, synth_dataset, tmp_path,
     ours = _run_ours(root, os.path.join(str(tmp_path), f"ours-{model}"),
                      model=model, dataloader="AERecDataset",
                      n_sample_neg_train=0, exp_name=f"ours-{model}")
+    # AdmmSLIM runs 100 ADMM sweeps in device f32 vs the reference's host
+    # f64 — near-tie ranks can flip for a user or two (1 user = 5e-3 here);
+    # the direct solvers are a single solve and stay within 2e-3.
+    atol = 8e-3 if model == "AdmmSLIM" else 2e-3
     for m in ("hit@5", "hit@10", "ndcg@5", "ndcg@10"):
-        np.testing.assert_allclose(ours[m], ref[m], atol=2e-3,
+        np.testing.assert_allclose(ours[m], ref[m], atol=atol,
                                    err_msg=(model, m))
 
 
@@ -216,3 +246,57 @@ def test_other_models_match_reference(reference_env, synth_dataset, tmp_path,
                      exp_name=f"ours-{model}", **ours_extra)
     for m in ("hit@5", "ndcg@5"):
         assert ours[m] >= ref[m] - 0.05, (model, m, ref, ours)
+
+
+# ---------------------------------------------------------------- ranking
+_RANK_COMMON = {
+    "n_sample_neg_train": 0, "valid_protocol": "one_vs_k",
+    "test_protocol": "one_vs_k", "metrics": "['auc','group_auc']",
+    "key_metric": "auc", "loss_type": "bce", "embedding_size": 32,
+    "hidden_size": 32, "max_seq_len": 10, "n_layers": 1, "n_heads": 2,
+    "inner_size": 64, "hidden_dropout_prob": 0.1, "attn_dropout_prob": 0.1,
+    "grad_clip_value": 10, "group_size": -1, "init_std": 0.1,
+    "data_train_name": "rank_train", "data_valid_name": "rank_valid",
+    "data_test_name": "rank_test", "epochs": 12, "learning_rate": 0.005,
+}
+
+
+@pytest.mark.parametrize("model,extra", [
+    ("FM", dict(dataloader="RankDataset", dataset="synthfm", group_size=6,
+                data_train_name="libfm_train", data_valid_name="libfm_valid",
+                data_test_name="libfm_test", learning_rate=0.05, epochs=8)),
+    ("BST", dict(dataloader="SeqRecDataset", dataset="synthrank")),
+    ("AdaRanker", dict(dataloader="SeqRecDataset", dataset="synthrank",
+                       train_type="Base", base_model="GRU",
+                       use_pre_item_emb=0, learning_rate=0.01)),
+    ("AdaRanker", dict(dataloader="SeqRecDataset", dataset="synthrank",
+                       train_type="Ada-Ranker", base_model="GRU",
+                       use_pre_item_emb=0, learning_rate=0.01)),
+])
+def test_rank_models_match_reference(reference_env, synth_dataset, tmp_path,
+                                     model, extra):
+    """Ranking-family pipeline parity (FM on T7 libFM groups, BST and
+    AdaRanker on T4 grouped rows), reference run with the sklearn float-AUC
+    shim. Note: with the reference's zero-centered modulation inits, its
+    Ada-Ranker train_type never escapes AUC≈0.5 on this tiny dataset (our
+    identity-centered init does — see models/rank.py); the Base train_type
+    case is the one where both frameworks genuinely learn (ref AUC≈0.91)."""
+    root, info = synth_dataset
+    common = dict(_RANK_COMMON, **extra)
+    tag = f"{model}-{extra.get('train_type', 'na')}"
+    ref = _run_reference(reference_env, root,
+                         os.path.join(str(tmp_path), f"ref-{tag}"),
+                         model=model, exp_name=f"ref-{tag}",
+                         history_mask_mode="autoregressive", **common)
+    ours_conf = {k: v for k, v in common.items() if k != "dataset"}
+    fmt = ("label-index_group-value_group" if model == "FM"
+           else "user-item_group-label_group")
+    ours = _run_ours(root, os.path.join(str(tmp_path), f"ours-{tag}"),
+                     model=model, exp_name=f"ours-{tag}",
+                     train_file_format=fmt, valid_file_format=fmt,
+                     test_file_format=fmt, **ours_conf)
+    for m in ("auc", "group_auc"):
+        assert ours[m] >= ref[m] - 0.05, (tag, m, ref, ours)
+    # where the reference learns, we must genuinely learn too
+    if ref["auc"] > 0.6:
+        assert ours["auc"] > 0.75, (tag, ref, ours)

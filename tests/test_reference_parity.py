@@ -237,3 +237,53 @@ def test_morec_revenue_metric_parity(ref_modules):
     for m, v in ours.items():
         np.testing.assert_allclose(v, np.asarray(ref[m], dtype=float),
                                    rtol=1e-6, err_msg=m)
+
+
+def test_multipos_group_auc_parity(ref_modules):
+    """Per-row AUC with multiple positives: our device Mann-Whitney ranks vs
+    the reference's per-row sklearn loop (multipos.py:184-191)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REFERENCE)
+    from unirec.facility.evaluation import multipos
+
+    from unirec_tpu.ops import metrics as M
+
+    rng = np.random.default_rng(3)
+    B, N, P = 40, 120, 4
+    scores = (rng.normal(size=(B, N)) * 10).astype(np.float64)
+    scores[:, 0] = -9999.0  # padding column, like the masked eval matrix
+    pos = np.zeros((B, P), np.int64)
+    for i in range(B):
+        npos = rng.integers(1, P + 1)
+        pos[i, :npos] = rng.choice(np.arange(1, N), size=npos, replace=False)
+
+    ev = multipos.MultiPositiveEvaluator(
+        "['group_auc']", group_size=-1,
+        config={"verbose": 0, "data_format": "user-item_group-label_group"})
+    pos_obj = np.empty(B, dtype=object)
+    for i in range(B):
+        pos_obj[i] = pos[i][pos[i] > 0]
+    ref = ev.compute_AUC(scores, pos_obj)
+
+    ours = M.multipos_topk_and_metrics(
+        jnp.asarray(scores), jnp.asarray(pos),
+        jnp.zeros((B, 1), jnp.int32), jnp.zeros(B, jnp.int32),
+        ("group_auc", "hit@5"), 5, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(ours["group_auc"]), ref, atol=1e-5)
+
+
+def test_host_roc_auc_ties_match_sklearn():
+    """Vectorized tie-averaged ranks vs sklearn on data with heavy ties."""
+    from sklearn.metrics import roc_auc_score
+
+    from unirec_tpu.ops import metrics as M
+
+    rng = np.random.default_rng(4)
+    for trial in range(5):
+        scores = rng.integers(0, 5, size=300).astype(np.float64)  # many ties
+        labels = (rng.random(300) < 0.3).astype(np.float64)
+        np.testing.assert_allclose(M.roc_auc(labels, scores),
+                                   float(roc_auc_score(labels, scores)),
+                                   rtol=1e-12)

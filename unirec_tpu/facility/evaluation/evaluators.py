@@ -262,6 +262,11 @@ class OnePositiveEvaluator(_EvaluatorBase):
 class MultiPositiveEvaluator(OnePositiveEvaluator):
     """One-vs-all with multiple positives per user (T5/T6 eval)."""
 
+    @staticmethod
+    def _supported(names):
+        # @k metrics + per-row AUC ('group_auc', multipos.py:184-191)
+        return tuple(m for m in names if "@" in m or m == "group_auc")
+
     def __init__(self, config, model, mesh=None):
         super().__init__(config, model, mesh)
         ks = [int(m.split("@")[1]) for m in self.metric_names if "@" in m]
@@ -271,14 +276,14 @@ class MultiPositiveEvaluator(OnePositiveEvaluator):
         def _mp_metrics(scores, pos_items, hist_items, hist_len, key):
             return M.multipos_topk_and_metrics(
                 scores, pos_items, hist_items, hist_len,
-                tuple(m for m in self.metric_names if "@" in m), self.max_k, key)
+                self._supported(self.metric_names), self.max_k, key)
 
         self._mp_metrics = _mp_metrics
 
     def evaluate_full(self, batcher, params, history: UserHistory,
                       constants=None) -> Dict[str, float]:
         item_emb = self._item_table(params, constants)
-        names = [m for m in self.metric_names if "@" in m]
+        names = list(self._supported(self.metric_names))
         rows: Dict[str, List[np.ndarray]] = {m: [] for m in names}
         weights = []
         key = jax.random.PRNGKey(self.seed + 303)

@@ -160,6 +160,21 @@ def multipos_topk_and_metrics(scores: jnp.ndarray, pos_items: jnp.ndarray,
 
     out = {}
     for m in metric_names:
+        if m == "group_auc":
+            # Per-row AUC over the full masked score matrix with all
+            # positives as label 1 (multipos.py:184-191). Mann-Whitney from
+            # ranks: with tie-noise applied, ties only occur among the
+            # NINF-masked negatives, which never border a positive, so
+            # plain ordinal ranks equal sklearn's tie-averaged ranks here.
+            order = jnp.argsort(masked, axis=-1)          # ascending
+            ranks = jnp.zeros((B, N), jnp.float32).at[
+                rows[:, None], order].set(jnp.arange(1, N + 1, dtype=jnp.float32))
+            pos_ranks = jnp.take_along_axis(ranks, pos_items, axis=1)
+            p = n_pos
+            sum_r = jnp.where(pos_items > 0, pos_ranks, 0.0).sum(-1)
+            n_neg_ = N - p
+            out[m] = (sum_r - p * (p + 1) / 2.0) / jnp.maximum(p * n_neg_, 1.0)
+            continue
         if "@" not in m:
             continue
         name, k = m.split("@")
@@ -184,20 +199,21 @@ def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
     """Rank-based AUC identical to sklearn.roc_auc_score for binary labels."""
     labels = np.asarray(labels).reshape(-1)
     scores = np.asarray(scores, dtype=np.float64).reshape(-1)
+    if len(scores) == 0:
+        return float("nan")
     order = np.argsort(scores, kind="mergesort")
-    ranks = np.empty_like(order, dtype=np.float64)
-    ranks[order] = np.arange(1, len(scores) + 1)
-    # average ranks for ties
-    sorted_scores = scores[order]
-    i = 0
-    while i < len(sorted_scores):
-        j = i
-        while j + 1 < len(sorted_scores) and sorted_scores[j + 1] == sorted_scores[i]:
-            j += 1
-        if j > i:
-            avg = (i + j + 2) / 2.0
-            ranks[order[i:j + 1]] = avg
-        i = j + 1
+    # tie-averaged ranks, vectorized: segment-mean of 1-based positions
+    # within each run of equal sorted scores
+    s = scores[order]
+    n = len(s)
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    np.not_equal(s[1:], s[:-1], out=new_group[1:])
+    gid = np.cumsum(new_group) - 1
+    pos_1based = np.arange(1, n + 1, dtype=np.float64)
+    avg = np.bincount(gid, weights=pos_1based) / np.bincount(gid)
+    ranks = np.empty(n, dtype=np.float64)
+    ranks[order] = avg[gid]
     n_pos = labels.sum()
     n_neg = len(labels) - n_pos
     if n_pos == 0 or n_neg == 0:
