@@ -102,3 +102,102 @@ def test_e2e_sampled_loss_device_pipeline(synth_dataset, tmp_path):
                 output_path=os.path.join(str(tmp_path), "dpmf"))
     result = main.run(conf)
     assert result["hit@5"] > 0.05, result
+
+
+# ----------------------------------------------- round-2 coverage extension
+def test_features_and_time_match_host():
+    """Feature-table gathers + time windows: device == host batcher."""
+    n_items = 200
+    rng = np.random.default_rng(7)
+    lens = rng.integers(5, 30, size=50).astype(np.int32)
+    items = np.zeros((50, 30), np.int32)
+    times = np.zeros((50, 30), np.int32)
+    for u in range(50):
+        items[u, :lens[u]] = rng.integers(1, n_items, size=lens[u])
+        times[u, :lens[u]] = np.sort(rng.integers(1, 50, size=lens[u]))
+    hist = UserHistory(items, lens, times=times)
+    feats = rng.integers(1, 7, size=(n_items, 2)).astype(np.int64)
+
+    cfg = {"n_items": n_items, "n_sample_neg_train": 0, "max_seq_len": 8,
+           "dataloader": "SeqRecDataset", "history_mask_mode": "autoregressive",
+           "seq_last": 1, "time_seq": 64, "use_features": 1}
+    aug = DeviceAugmenter(cfg, hist, features=feats)
+    uid = rng.integers(1, 50, size=40).astype(np.int32)
+    pos = rng.integers(1, n_items, size=40).astype(np.int32)
+    batch = aug.augment({"user_id": jnp.asarray(uid),
+                         "item_id": jnp.asarray(pos),
+                         "weight": jnp.ones(40)}, jax.random.PRNGKey(0))
+    hseq, hlen, htseq = hist.sequence_batch(uid, pos, 8,
+                                            mask_mode="autoregressive",
+                                            seq_last=True, with_time=True)
+    np.testing.assert_array_equal(np.asarray(batch["item_seq"]), hseq)
+    np.testing.assert_array_equal(np.asarray(batch["time_seq"]), htseq)
+    np.testing.assert_array_equal(np.asarray(batch["item_features"]),
+                                  feats[pos])
+    np.testing.assert_array_equal(np.asarray(batch["item_seq_features"]),
+                                  feats[hseq])
+
+
+def test_grouped_rows_with_sampling():
+    """T4 grouped rows: negatives reject every positive column; labels are
+    laid out like the host batcher (pipeline.py:114-129)."""
+    hist = _history(seed=8)
+    cfg = {"n_items": 200, "n_sample_neg_train": 4, "max_seq_len": 8,
+           "dataloader": "SeqRecDataset", "history_mask_mode": "unorder"}
+    aug = DeviceAugmenter(cfg, hist)
+    rng = np.random.default_rng(9)
+    uid = rng.integers(1, 50, size=64).astype(np.int32)
+    pos = rng.integers(1, 200, size=(64, 3)).astype(np.int32)
+    label = np.zeros((64, 3), np.float32)
+    label[:, 0] = 1.0
+    batch = aug.augment({"user_id": jnp.asarray(uid),
+                         "item_id": jnp.asarray(pos),
+                         "label": jnp.asarray(label),
+                         "weight": jnp.ones(64)}, jax.random.PRNGKey(1))
+    item_id = np.asarray(batch["item_id"])
+    lab = np.asarray(batch["label"])
+    assert item_id.shape == (64, 7) and lab.shape == (64, 7)
+    np.testing.assert_array_equal(item_id[:, :3], pos)
+    np.testing.assert_array_equal(lab[:, :3], label)
+    assert (lab[:, 3:] == 0).all()
+    negs = item_id[:, 3:]
+    assert not (negs[:, :, None] == pos[:, None, :]).any()
+    in_hist = hist.contains(uid, negs.astype(np.int64))
+    assert not in_hist[negs > 0].any()
+
+
+def test_aerec_rows_match_host():
+    from unirec_tpu.data.datasets import BaseDataset  # noqa: F401 (doc link)
+    hist = _history(seed=10)
+    cfg = {"n_items": 200, "n_sample_neg_train": 0, "max_seq_len": 8,
+           "dataloader": "AERecDataset", "loss_type": "fullsoftmax"}
+    aug = DeviceAugmenter(cfg, hist, aerec=True)
+    uid = np.arange(1, 41).astype(np.int32)
+    batch = aug.augment({"user_id": jnp.asarray(uid),
+                         "item_id": jnp.zeros(40, jnp.int32),
+                         "weight": jnp.ones(40)}, jax.random.PRNGKey(0))
+    rows, lens = hist.gather(uid)
+    np.testing.assert_array_equal(np.asarray(batch["item_seq"]), rows)
+    np.testing.assert_array_equal(np.asarray(batch["item_seq_len"]), lens)
+
+
+def test_e2e_rank_grouped_device_pipeline(synth_dataset, tmp_path):
+    """BST on T4 grouped rows trains through the device pipeline and learns
+    (same threshold as the host-path test in test_rank_models.py)."""
+    from tests.test_rank_models import _conf
+    conf = _conf(synth_dataset[0], str(tmp_path), "BST", device_pipeline=1,
+                 exp_name="bst-dp")
+    result = main.run(conf)
+    assert result["auc"] > 0.65, result
+
+
+def test_e2e_multivae_device_pipeline(synth_dataset, tmp_path):
+    root, info = synth_dataset
+    conf = copy.deepcopy(BASE_CONF)
+    conf.update(model="MultiVAE", dataloader="AERecDataset",
+                n_sample_neg_train=0, device_pipeline=1, epochs=6,
+                learning_rate=0.005, dataset_path=root, task="train",
+                exp_name="vae-dp",
+                output_path=os.path.join(str(tmp_path), "dpvae"))
+    result = main.run(conf)
+    assert result["hit@5"] > 2 * 5.0 / 300.0, result

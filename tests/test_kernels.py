@@ -186,3 +186,52 @@ def test_flash_backward_multiblock():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+# ------------------------------------------------------- fused short-seq
+@pytest.mark.parametrize("L", [16, 50])     # 50: needs sublane padding
+@pytest.mark.parametrize("B", [4, 6])       # 6: odd block-rows fallback
+def test_fused_attention_forward_matches_xla(B, L):
+    q, k, v, mask = _inputs(B=B, L=L)
+    ref = A.xla_attention(q, k, v, mask)
+    out = A.short_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_grads_match_xla():
+    q, k, v, mask = _inputs(B=4, L=50)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(A.fused_attention(q, k, v, mask, 0.0, seed) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(A.xla_attention(q, k, v, mask) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, n in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                                   err_msg=f"d{n}")
+
+
+def test_fused_attention_per_head_mask():
+    q, k, v, mask = _inputs(B=4, L=16)
+    mask_h = jnp.broadcast_to(mask, (4, 2, 16, 16))
+    ref = A.xla_attention(q, k, v, mask_h)
+    out = A.short_attention(q, k, v, mask_h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_short_attention_dropout_fallback_on_cpu():
+    """With dropout active the interpret path can't run pltpu PRNG; the
+    wrapper must fall back to the XLA path with flax-style dropout."""
+    q, k, v, mask = _inputs(B=4, L=16)
+    rng = jax.random.PRNGKey(0)
+    out = A.short_attention(q, k, v, mask, p_drop=0.5, dropout_rng=rng,
+                            train=True)
+    ref_probs = A.xla_attention_probs(q, k, mask)
+    keep = jax.random.bernoulli(rng, 0.5, ref_probs.shape)
+    ref = jnp.einsum("bhqk,bhkd->bhqd",
+                     jnp.where(keep, ref_probs / 0.5, 0.0), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

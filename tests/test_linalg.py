@@ -1,0 +1,77 @@
+"""Blocked solver linear algebra (ops/linalg.py): correctness vs numpy and
+execution on a sharded ('model'-axis) matrix — the scale path for EASE-style
+catalogs beyond the one-shot-LU limit (SURVEY.md §7 hard-part 6)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from unirec_tpu.ops.linalg import (blocked_cholesky, blocked_tri_inv_lower,
+                                   spd_inverse, spd_inverse_columns)
+
+
+def _spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    R = rng.normal(size=(n + 32, n)).astype(np.float64)
+    return (R.T @ R + 10 * np.eye(n)).astype(np.float32)
+
+
+@pytest.mark.parametrize("n,nb", [(64, 32), (100, 32), (257, 64)])
+def test_blocked_cholesky_matches_numpy(n, nb):
+    A = _spd(n)
+    L = np.asarray(blocked_cholesky(jnp.asarray(A), nb))
+    Lref = np.linalg.cholesky(A.astype(np.float64))
+    np.testing.assert_allclose(L, Lref, atol=5e-5)
+
+
+def test_blocked_tri_inv_matches_numpy():
+    A = _spd(100)
+    L = np.linalg.cholesky(A.astype(np.float64)).astype(np.float32)
+    X = np.asarray(blocked_tri_inv_lower(jnp.asarray(L), 32))
+    np.testing.assert_allclose(X @ L, np.eye(100), atol=2e-4)
+
+
+@pytest.mark.parametrize("n,nb", [(100, 32), (200, 64)])
+def test_spd_inverse_matches_numpy(n, nb):
+    A = _spd(n, seed=1)
+    P_ = np.asarray(spd_inverse(jnp.asarray(A), nb))
+    Pref = np.linalg.inv(A.astype(np.float64))
+    scale = np.abs(Pref).max()
+    np.testing.assert_allclose(P_ / scale, Pref / scale, atol=2e-5)
+
+
+def test_spd_inverse_columns_stream():
+    A = _spd(130, seed=2)
+    Pref = np.linalg.inv(A.astype(np.float64))
+    out = np.zeros((130, 130), np.float32)
+    for c, slab in spd_inverse_columns(jnp.asarray(A), 32, out_block=48):
+        out[:, c:c + slab.shape[1]] = slab
+    scale = np.abs(Pref).max()
+    np.testing.assert_allclose(out / scale, Pref / scale, atol=2e-5)
+
+
+def test_spd_inverse_sharded_matches_single_device():
+    """Row-sharded A over a ('model',) mesh: same program, GSPMD collectives,
+    identical result."""
+    from unirec_tpu.core.mesh import create_mesh
+    mesh = create_mesh(data=1, model=4)
+    A = _spd(128, seed=3)
+    jA = jax.device_put(jnp.asarray(A),
+                        NamedSharding(mesh.mesh, P("model", None)))
+    with mesh.mesh:
+        P_sharded = np.asarray(jax.jit(spd_inverse, static_argnums=1)(jA, 32))
+    P_single = np.asarray(spd_inverse(jnp.asarray(A), 32))
+    np.testing.assert_allclose(P_sharded, P_single, atol=1e-5)
+
+
+def test_regularized_inverse_blocked_tier():
+    """models/solvers.py picks the blocked path above the one-shot limit."""
+    from unirec_tpu.models.solvers import _regularized_inverse
+    A = _spd(150, seed=4)
+    out = _regularized_inverse(A, {"solver_device_inverse_max": 64,
+                                   "solver_inverse_block": 48})
+    Pref = np.linalg.inv(A.astype(np.float64))
+    scale = np.abs(Pref).max()
+    np.testing.assert_allclose(out / scale, Pref / scale, atol=2e-5)

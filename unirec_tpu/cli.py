@@ -19,7 +19,8 @@ import sys
 from unirec_tpu import config as config_mod
 
 COMMANDS = ("train", "test", "infer", "infer-embedding", "reco-topk",
-            "prepare-data", "export", "sweep")
+            "prepare-data", "download-data", "convert-splits", "export",
+            "sweep")
 
 
 def main(argv=None):
@@ -49,6 +50,28 @@ def main(argv=None):
         kw = config_mod.parse_cmd_arguments(rest)
         info = prepare_data(kw.pop("raw_file"), kw.pop("out_dir"), **kw)
         print(info)
+        return 0
+    if cmd == "download-data":
+        # role of the reference's examples/preprocess/download_split_*.py
+        from unirec_tpu.data import downloaders as DL
+        kw = config_mod.parse_cmd_arguments(rest)
+        name = kw.pop("dataset", "ml-100k")
+        out = kw.pop("out_dir")
+        if name == "ml-100k":
+            info = DL.prepare_ml100k(out, **kw)
+        elif name == "ml-10m":
+            info = DL.prepare_ml10m(out, **kw)
+        elif name.startswith("amazon-"):
+            info = DL.prepare_amazon(name.split("-", 1)[1], out, **kw)
+        else:
+            raise SystemExit(f"unknown dataset '{name}' "
+                             "(ml-100k, ml-10m, amazon-<category>)")
+        print(info)
+        return 0
+    if cmd == "convert-splits":
+        from unirec_tpu.data.prepare import convert_splits
+        kw = config_mod.parse_cmd_arguments(rest)
+        print(convert_splits(kw.pop("split_dir"), kw.pop("out_dir"), **kw))
         return 0
     if cmd == "sweep":
         from unirec_tpu.facility.sweep import run_sweep

@@ -1,22 +1,27 @@
 """Device-side batch augmentation: the TPU-native data path.
 
-The host pipeline (sampler.py + history.py) assembles ~150k rows/s — 150x
-slower than the ~25M rows/s a single chip trains at, so at production batch
-sizes the host, not the TPU, is the bottleneck. This module moves the
-per-batch work onto the device, *inside* the jitted train step: the host
-feeds only raw ``(user_id, item_id)`` int32 pairs (a few hundred KB/s) and
-everything else — popularity^alpha negative sampling with user-history
-rejection, autoregressive history truncation, left-padded windowing — runs
-as fused XLA ops on arrays resident in HBM.
+The host pipeline (sampler.py + history.py) assembles ~150k rows/s — far
+slower than what a single chip trains at, so at production batch sizes the
+host, not the TPU, is the bottleneck. This module moves the per-batch work
+onto the device, *inside* the jitted train step: the host feeds only raw
+id columns (a few hundred KB/s) and everything else — popularity^alpha
+negative sampling with user-history rejection, autoregressive history
+truncation, left-padded windowing, feature-table gathers, time-sequence
+windows — runs as fused XLA ops on arrays resident in HBM.
 
 Semantics mirror the host pipeline exactly (same oversample+first-valid
 rejection as sampler.py:84-115, same truncation/window rules as
-history.py:111-181), so either path can feed the same models; tests
-cross-check the two.
+history.py:111-181, same grouped-row label assembly as pipeline.py:114-136),
+so either path can feed the same models; tests cross-check the two.
+
+Coverage (round 2): scalar rows, grouped T4 rows (2-D item_id + label),
+categorical item features, T6 time sequences, T1_1 explicit max_len, and
+AERec (autoencoder) training rows. Still host-only: T7 libFM rows
+(index_list/value_list are ragged per-interaction features with no device
+table to gather from) and the MoRec signal-driven sampler.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -29,8 +34,8 @@ from unirec_tpu.data.sampler import AliasTable
 
 
 class DeviceAugmenter:
-    """Holds device-resident state (packed history, alias table) and exposes
-    ``augment(batch, rng)`` — a pure jittable function.
+    """Holds device-resident state (packed history, alias table, feature
+    table) and exposes ``augment(batch, rng)`` — a pure jittable function.
 
     IMPORTANT: the tables are passed into the jitted step as the ``state``
     pytree operand (``augment``'s batch carries them via ``with_state``),
@@ -38,7 +43,9 @@ class DeviceAugmenter:
     multi-MB table into the executable and compile times explode."""
 
     def __init__(self, config: Dict[str, Any], history: UserHistory,
-                 item_popularity: Optional[np.ndarray] = None):
+                 item_popularity: Optional[np.ndarray] = None,
+                 features: Optional[np.ndarray] = None,
+                 aerec: bool = False):
         c = config
         self.n_items = int(c["n_items"])
         self.n_neg = int(c.get("n_sample_neg_train", 0) or 0)
@@ -49,11 +56,21 @@ class DeviceAugmenter:
         self.mask_mode = c.get("history_mask_mode", "unorder")
         self.seq_last = bool(c.get("seq_last", 0))
         self.is_sequential = c.get("dataloader") in ("SeqRecDataset",)
+        self.aerec = bool(aerec)
+        self.aerec_cap = int(c.get("aerec_max_hist", 0) or 0)
+        self.with_time = bool(int(c.get("time_seq", 0) or 0)) \
+            and history.times is not None
+        self.use_features = features is not None
 
         self.state: Dict[str, jnp.ndarray] = {
             "hist_items": jnp.asarray(history.items),   # [U, C] int32, HBM
             "hist_lens": jnp.asarray(history.lengths),  # [U]
         }
+        if self.with_time:
+            self.state["hist_times"] = jnp.asarray(history.times)
+        if self.use_features:
+            self.state["features"] = jnp.asarray(
+                np.asarray(features, np.int32))          # [n_items, F]
         alpha = float(c.get("neg_by_pop_alpha", 0) or 0)
         self.use_alias = item_popularity is not None and alpha > 0
         if self.use_alias:
@@ -78,13 +95,13 @@ class DeviceAugmenter:
         hit = (cand[:, :, None] == rows[:, None, :]) & (cand[:, :, None] > 0)
         return hit.any(-1)
 
-    def sample_negatives(self, state, key, rows, pos):
-        """[B, n_neg] negatives: oversample, reject in-history / == positive,
-        keep first valid (sampler.py semantics; 0 when all proposals fail)."""
-        B = pos.shape[0]
+    def sample_negatives(self, state, key, rows, pos2d):
+        """[B, n_neg] negatives: oversample, reject in-history / == any
+        positive column (sampler.py semantics; 0 when all proposals fail)."""
+        B = pos2d.shape[0]
         K = self.n_neg * self.oversample
         cand = self._draw(state, key, (B, K))
-        bad = cand == pos[:, None]
+        bad = (cand[:, :, None] == pos2d[:, None, :]).any(-1)
         bad |= self._membership(rows, cand)
         ok = ~bad
         cand = cand.reshape(B, self.n_neg, self.oversample)
@@ -93,14 +110,22 @@ class DeviceAugmenter:
         chosen = jnp.take_along_axis(cand, first[..., None], axis=-1)[..., 0]
         return jnp.where(ok.any(-1), chosen, 0).astype(jnp.int32)
 
-    def history_window(self, key, rows, lens, pos):
-        """(item_seq [B, L], item_seq_len [B]) with the host pipeline's
-        unorder / autoregressive semantics (history.py:111-181)."""
+    def history_window(self, key, rows, lens, tgt2d, trows=None,
+                       explicit_max_len=None):
+        """(item_seq [B, L], item_seq_len [B], time_seq or None) with the
+        host pipeline's unorder / autoregressive semantics
+        (history.py:111-181); tgt2d: [B, P] positive items."""
         B, C = rows.shape
         L = self.max_seq_len
-        is_tgt = (rows == pos[:, None]) & (rows > 0)
-        if self.mask_mode == "unorder":
+        is_tgt = (rows[:, :, None] == tgt2d[:, None, :]).any(-1) & (rows > 0)
+        # explicit per-row max_len replaces target-based truncation only in
+        # autoregressive mode (history.py:165-167, T1_1 semantics)
+        if explicit_max_len is not None and self.mask_mode != "unorder":
+            n = jnp.minimum(explicit_max_len.astype(jnp.int32), lens)
+        elif self.mask_mode == "unorder":
             rows = jnp.where(is_tgt, 0, rows)
+            if trows is not None:
+                trows = jnp.where(is_tgt, 0, trows)
             n = lens
         else:  # autoregressive
             valid_pos = is_tgt & (jnp.arange(C)[None, :] < lens[:, None])
@@ -119,7 +144,10 @@ class DeviceAugmenter:
         valid = grid >= 0
         gi = jnp.clip(grid, 0, C - 1)
         seq = jnp.take_along_axis(rows, gi, axis=1) * valid
-        return seq.astype(jnp.int32), jnp.minimum(n, L).astype(jnp.int32)
+        tseq = None
+        if trows is not None:
+            tseq = (jnp.take_along_axis(trows, gi, axis=1) * valid).astype(jnp.int32)
+        return seq.astype(jnp.int32), jnp.minimum(n, L).astype(jnp.int32), tseq
 
     # ------------------------------------------------------------------
     def with_state(self, raw: Dict[str, Any]) -> Dict[str, Any]:
@@ -130,41 +158,79 @@ class DeviceAugmenter:
         return out
 
     def augment(self, raw: Dict[str, Any], key) -> Dict[str, jnp.ndarray]:
-        """raw: {user_id [B], item_id [B], weight [B], _aug: state} → full
-        train batch."""
+        """raw: {user_id [B], item_id [B] or [B, P], weight [B],
+        label? [B or B, P], max_len? [B], _aug: state} → full train batch."""
         raw = dict(raw)
         state = raw.pop("_aug", self.state)
         uid = raw["user_id"]
-        pos = raw["item_id"]
         rows = state["hist_items"][uid]
         lens = state["hist_lens"][uid]
+        trows = state["hist_times"][uid] if self.with_time else None
+        batch = {"user_id": uid, "weight": raw["weight"]}
+
+        if self.aerec:
+            # AERec training rows (pipeline.py:90-98): the user's own
+            # deduped history is both input and reconstruction target
+            cap = self.aerec_cap or rows.shape[1]
+            batch["item_seq"] = rows[:, :cap]
+            batch["item_seq_len"] = jnp.minimum(lens, cap)
+            if self.use_features:
+                batch["item_seq_features"] = state["features"][batch["item_seq"]]
+            return batch
+
+        pos = raw["item_id"]
+        pos2d = pos if pos.ndim == 2 else pos[:, None]
+        in_label = raw.get("label")
         k_neg, k_seq = jax.random.split(key)
 
-        batch = {"user_id": uid, "weight": raw["weight"]}
         if self.n_neg > 0:
-            negs = self.sample_negatives(state, k_neg, rows, pos)
-            item_id = jnp.concatenate([pos[:, None], negs], axis=1)
-            label = jnp.zeros(item_id.shape, jnp.float32).at[:, 0].set(1.0)
+            negs = self.sample_negatives(state, k_neg, rows, pos2d)
+            item_id = jnp.concatenate([pos2d, negs], axis=1)
+            # grouped-label assembly mirrors pipeline.py:122-129
+            label = jnp.zeros(item_id.shape, jnp.float32)
+            P = pos2d.shape[1]
+            if in_label is None:
+                label = label.at[:, :P].set(1.0)
+            elif in_label.ndim == 1:
+                label = label.at[:, 0].set(in_label.astype(jnp.float32))
+            else:
+                label = label.at[:, :P].set(in_label.astype(jnp.float32))
         else:
             item_id = pos
-            label = jnp.ones(pos.shape, jnp.float32)
+            if in_label is not None:
+                label = in_label.astype(jnp.float32)
+            elif pos.ndim == 2:
+                label = jnp.zeros(pos.shape, jnp.float32).at[:, 0].set(1.0)
+            else:
+                label = jnp.ones(pos.shape, jnp.float32)
         batch["item_id"] = item_id
         batch["label"] = label
+        if self.use_features:
+            batch["item_features"] = state["features"][item_id]
         if self.is_sequential:
-            seq, seq_len = self.history_window(k_seq, rows, lens, pos)
+            seq, seq_len, tseq = self.history_window(
+                k_seq, rows, lens, pos2d, trows=trows,
+                explicit_max_len=raw.get("max_len"))
             batch["item_seq"] = seq
             batch["item_seq_len"] = seq_len
+            if tseq is not None:
+                batch["time_seq"] = tseq
+            if self.use_features:
+                batch["item_seq_features"] = state["features"][seq]
         return batch
 
 
 class RawIdBatcher:
-    """Minimal host loop for the device pipeline: shuffle + slice the raw
-    (user_id, item_id) columns; all augmentation happens on device."""
+    """Minimal host loop for the device pipeline: shuffle + slice the raw id
+    columns; all augmentation happens on device. ``extra`` columns (grouped
+    item lists, labels, per-row max_len) ride along unchanged."""
 
     def __init__(self, user_id: np.ndarray, item_id: np.ndarray,
-                 batch_size: int, seed: int = 2022, shuffle: bool = True):
+                 batch_size: int, seed: int = 2022, shuffle: bool = True,
+                 extra: Optional[Dict[str, np.ndarray]] = None):
         self.user_id = user_id.astype(np.int32)
         self.item_id = item_id.astype(np.int32)
+        self.extra = {k: np.asarray(v) for k, v in (extra or {}).items()}
         self.batch_size = int(batch_size)
         self.seed = int(seed)
         self.shuffle = shuffle
@@ -185,5 +251,8 @@ class RawIdBatcher:
             if pad:
                 weight[len(idx):] = 0.0
                 idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
-            yield {"user_id": self.user_id[idx], "item_id": self.item_id[idx],
+            out = {"user_id": self.user_id[idx], "item_id": self.item_id[idx],
                    "weight": weight}
+            for k, v in self.extra.items():
+                out[k] = v[idx]
+            yield out

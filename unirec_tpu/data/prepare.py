@@ -124,3 +124,40 @@ def prepare_data(raw_file: str, out_dir: str, sep: str = "\t",
     }
     file_io.save_data_info(out_dir, info)
     return info
+
+
+def convert_splits(split_dir: str, out_dir: str,
+                   max_len_col: bool = False) -> Dict[str, Any]:
+    """Convert pre-split tsv artifacts (the data/downloaders.py output set —
+    train/valid/test.csv + user_history.csv, matching the reference's
+    download_split_*.py layout) into training-ready pkl + data.info.
+
+    This is the chaining link the reference implements by running
+    prepare_data.py on each split file
+    (examples/preprocess/run_prepare_data-ml-100k.sh)."""
+    os.makedirs(out_dir, exist_ok=True)
+    n_users = n_items = 0
+    for split in ("train", "valid", "test"):
+        df = pd.read_csv(os.path.join(split_dir, f"{split}.csv"), sep="\t")
+        cols = ["user_id", "item_id"] + (
+            ["max_len"] if max_len_col and "max_len" in df.columns else [])
+        df[cols].to_pickle(os.path.join(out_dir, f"{split}.pkl"))
+        n_users = max(n_users, int(df["user_id"].max()) + 1)
+        n_items = max(n_items, int(df["item_id"].max()) + 1)
+    hist = pd.read_csv(os.path.join(split_dir, "user_history.csv"), sep="\t")
+    hist["item_seq"] = hist["item_seq"].apply(
+        lambda s: np.asarray([int(x) for x in str(s).split(",")], np.int64))
+    hist.to_pickle(os.path.join(out_dir, "user_history.pkl"))
+    n_items = max(n_items, int(max(
+        (s.max() for s in hist["item_seq"] if len(s)), default=0)) + 1)
+    fmt = "user-item-max_len" if max_len_col else "user-item"
+    info = {
+        "n_users": n_users, "n_items": n_items,
+        "n_feats": 1 + n_users + n_items,
+        "train_file_format": fmt,
+        "valid_file_format": fmt,
+        "test_file_format": fmt,
+        "user_history_file_format": "user-item_seq",
+    }
+    file_io.save_data_info(out_dir, info)
+    return info

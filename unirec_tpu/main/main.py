@@ -219,18 +219,40 @@ def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
                     features,
                     item_sampler=make_negative_sampler(tcfg, history, item_pop))
             elif _device_pipeline_ok(config, train_ds, history, features):
-                # TPU-native data path: host feeds raw id pairs; sampling +
-                # history windows fuse into the jitted train step
+                # TPU-native data path: host feeds raw id columns; sampling,
+                # history/time windows and feature gathers fuse into the
+                # jitted train step
                 from unirec_tpu.data.device_pipeline import (DeviceAugmenter,
                                                              RawIdBatcher)
+                aerec = train_ds.fmt == "aerec-train"
+                aug_history = history
+                if aerec:
+                    # AE training reconstructs the *train-split* deduped
+                    # history (datasets.py AERecDataset._normalize), not the
+                    # global user_history table — scatter the dataset's
+                    # packed rows into a user-indexed matrix
+                    from unirec_tpu.data.history import UserHistory
+                    cols = train_ds.cols
+                    n_users = int(tcfg["n_users"])
+                    mat = np.zeros((n_users, cols["hist"].shape[1]), np.int32)
+                    lens = np.zeros(n_users, np.int32)
+                    uid = cols["user_id"].astype(np.int64)
+                    mat[uid] = cols["hist"]
+                    lens[uid] = cols["hist_len"]
+                    aug_history = UserHistory(mat, lens)
                 driver.set_device_augmenter(
-                    DeviceAugmenter(tcfg, history, item_pop))
+                    DeviceAugmenter(tcfg, aug_history, item_pop,
+                                    features=features, aerec=aerec))
                 cols = train_ds.cols
+                extra = {k: cols[k] for k in ("label", "max_len")
+                         if k in cols}
                 train_batcher = RawIdBatcher(
-                    cols["user_id"], cols["item_id"],
+                    cols["user_id"],
+                    np.zeros_like(cols["user_id"]) if aerec else cols["item_id"],
                     int(tcfg.get("batch_size", 256)),
                     seed=int(tcfg.get("seed", 2022)),
-                    shuffle=bool(tcfg.get("shuffle_train", 0)))
+                    shuffle=bool(tcfg.get("shuffle_train", 0)),
+                    extra=extra)
                 logger.info("device-side batch augmentation enabled")
             else:
                 train_batcher = make_train_batcher(train_ds, tcfg, history,
@@ -289,20 +311,19 @@ def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
 
 
 def _device_pipeline_ok(config, train_ds, history, features) -> bool:
-    """Device-side augmentation handles scalar-item rows with optional
-    sampled negatives + history windows; other shapes (grouped T4/T7 rows,
-    categorical features, time sequences, AE training) stay on the host
-    pipeline."""
+    """Device-side augmentation covers scalar rows, grouped T4 rows (2-D
+    item_id + label), categorical features, T6 time sequences, T1_1
+    max_len, and AERec training. Only T7 libFM rows (ragged per-interaction
+    feature lists with no device table to gather from) stay host-side."""
     if not int(config.get("device_pipeline", 0) or 0):
         return False
-    if features is not None or int(config.get("time_seq", 0) or 0):
-        return False
-    item = train_ds.cols.get("item_id")
-    if item is None or item.ndim != 1 or "label" in train_ds.cols:
-        return False
-    if train_ds.is_sequential and history is None:
+    if "index_list" in train_ds.cols:  # T7 libFM
         return False
     if train_ds.fmt == "aerec-train":
+        return history is not None
+    if train_ds.cols.get("item_id") is None:
+        return False
+    if train_ds.is_sequential and history is None:
         return False
     return True
 

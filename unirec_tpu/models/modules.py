@@ -131,11 +131,18 @@ class MultiHeadAttention(nn.Module):
         k = dense("key")(x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
         v = dense("value")(x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
 
-        # the flash kernel has no attention-prob dropout; use it whenever
-        # dropout is inactive (eval, or attn_dropout_prob == 0)
-        flash_ok = self.use_flash and (not train or self.attn_dropout_prob == 0.0)
-        if flash_ok:
-            from unirec_tpu.ops import attention as attn_ops
+        from unirec_tpu.ops import attention as attn_ops
+        drop_on = train and self.attn_dropout_prob > 0.0
+        if self.use_flash and attn_ops.fused_supported(q, attn_mask):
+            # fused short-seq kernel: scores/softmax/dropout/@V in VMEM, with
+            # in-kernel PRNG dropout — no [B, H, L, L] HBM tensor (the XLA
+            # path below spends ~half the train step there at bench shapes)
+            ctx = attn_ops.short_attention(
+                q, k, v, attn_mask, p_drop=self.attn_dropout_prob,
+                dropout_rng=self.make_rng("dropout") if drop_on else None,
+                train=train)
+        elif self.use_flash and attn_ops._kernel_supported(q, attn_mask) \
+                and not drop_on:
             ctx = attn_ops.causal_attention(q, k, v, attn_mask)
         else:
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(float(hd))

@@ -77,17 +77,36 @@ class SolverRecommender:
             setattr(self, k, v)
 
 
-def _regularized_inverse(G: np.ndarray, cfg) -> np.ndarray:
-    """Dense [N, N] inverse. On device (one jit LU) while the LU panel fits
-    the chip's scoped VMEM (~N<=14k on v5e, 16 MB scoped limit); above that
-    XLA's factorization lowering cannot tile it, so LAPACK on host takes
-    over — the O(N^2) scoring afterwards still runs on the MXU."""
+def _regularized_inverse(G: np.ndarray, cfg, spd: bool = True) -> np.ndarray:
+    """Dense [N, N] inverse, on device at any catalog size.
+
+    - N <= solver_device_inverse_max: one jit LU (XLA's one-shot lowering
+      tiles fine up to ~14k on v5e before the LU panel overflows scoped
+      VMEM).
+    - larger SPD matrices: blocked Cholesky → blocked triangular inverse →
+      column-streamed Xᵀ X (ops/linalg.py) — every step is panel-sized
+      cholesky / triangular solves / MXU matmuls, peak device memory one
+      [N, N] plus an [N, block] slab. Replaces the old >9-minute host
+      LAPACK path (SURVEY.md §7 hard-part 6).
+    - host LAPACK only as the last resort (non-SPD or device failure).
+    """
     n = G.shape[0]
     limit = int(cfg.get("solver_device_inverse_max", 12_000))
     if n <= limit:
         try:
             return np.asarray(jax.jit(jnp.linalg.inv)(jnp.asarray(G)))
-        except Exception:  # backend-specific memory limits → host fallback
+        except Exception:  # backend-specific memory limits → next tier
+            pass
+    if spd:
+        try:
+            from unirec_tpu.ops.linalg import spd_inverse_columns
+            nb = int(cfg.get("solver_inverse_block", 4096))
+            nb = min(nb, n)
+            out = np.empty((n, n), np.float32)
+            for c, slab in spd_inverse_columns(jnp.asarray(G, jnp.float32), nb):
+                out[:, c:c + slab.shape[1]] = slab
+            return out
+        except Exception:
             pass
     return np.linalg.inv(G)
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -1e4  # matches the reference additive mask (sasrec.py:56)
 
@@ -159,6 +160,215 @@ def _flash_bwd(res, g):
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ------------------------------------------------------- fused short-seq path
+# Rec-model histories are SHORT (L = 10-50 across every reference config) and
+# batches are huge, so attention cost is pure HBM traffic: the XLA path
+# materializes [B, H, L, L] f32 score/softmax/dropout tensors several times
+# per layer (1.3 GB each at B=32k, L=50) — profiling shows ~half the train
+# step inside these ops (bench/ablate_step.py + bench/xplane.py). This kernel
+# computes scores -> mask -> softmax -> dropout -> @V for a block of batch
+# rows entirely in VMEM: HBM traffic is just Q,K,V in and O out. Dropout runs
+# on the in-kernel PRNG; the backward kernel reseeds identically and replays
+# the same mask, so nothing is stored between fwd and bwd.
+
+_MAX_FUSED_SEQ_LEN = 512  # [L, L] f32 row block must fit VMEM comfortably
+
+
+def _uniform_from_bits(bits):
+    # uint32 -> [0, 1) float32 (take 24 high bits for an exact float)
+    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _fused_fwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, o_ref,
+                      *, scale: float, p_drop: float, mb: int):
+    if p_drop > 0.0:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+
+    def body(i, _):
+        q = q_ref[i].astype(jnp.float32) * scale
+        s = jnp.dot(q, k_ref[i].astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)
+        s = s + m_ref[i].astype(jnp.float32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        if p_drop > 0.0:
+            u = _uniform_from_bits(pltpu.prng_random_bits(p.shape))
+            p = jnp.where(u >= p_drop, p * (1.0 / (1.0 - p_drop)), 0.0)
+        o_ref[i] = jnp.dot(p, v_ref[i].astype(jnp.float32),
+                           preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, mb, body, None)
+
+
+def _fused_bwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref,
+                      *, scale: float, p_drop: float, mb: int):
+    if p_drop > 0.0:
+        # identical seeding + generation order to the forward kernel → the
+        # dropout mask replays exactly
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+
+    def body(i, _):
+        q = q_ref[i].astype(jnp.float32) * scale
+        k = k_ref[i].astype(jnp.float32)
+        v = v_ref[i].astype(jnp.float32)
+        do = do_ref[i].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s = s + m_ref[i].astype(jnp.float32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        y = jnp.exp(s)
+        y = y / jnp.sum(y, axis=-1, keepdims=True)
+        if p_drop > 0.0:
+            u = _uniform_from_bits(pltpu.prng_random_bits(y.shape))
+            keep = u >= p_drop
+            inv = 1.0 / (1.0 - p_drop)
+            z = jnp.where(keep, y * inv, 0.0)
+        else:
+            z = y
+        dv_ref[i] = jnp.dot(z.T, do,
+                            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dz = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        dy = jnp.where(keep, dz * inv, 0.0) if p_drop > 0.0 else dz
+        t = jnp.sum(dy * y, axis=-1, keepdims=True)
+        ds = y * (dy - t)
+        dq_ref[i] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                     * scale).astype(dq_ref.dtype)
+        dk_ref[i] = jnp.dot(ds.T, q,
+                            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, mb, body, None)
+
+
+def _pad_len(L: int) -> int:
+    return -(-L // 8) * 8
+
+
+def _fused_prep(q, k, v, mask):
+    """Pad L to a sublane multiple; padded keys are masked off."""
+    B, H, L, D = q.shape
+    Lp = _pad_len(L)
+    if Lp != L:
+        padder = [(0, 0), (0, 0), (0, Lp - L), (0, 0)]
+        q, k, v = (jnp.pad(x, padder) for x in (q, k, v))
+        # padded KEYS must get exactly zero probability — the reference's
+        # -1e4 additive mask is soft (fully-masked rows attend uniformly
+        # over all real keys), so padding with -1e4 would leak probability
+        # onto the fake columns and change those rows' outputs
+        mask = jnp.pad(mask, [(0, 0), (0, 0), (0, Lp - L), (0, Lp - L)],
+                       constant_values=-1e30)
+    return q, k, v, mask, Lp
+
+
+def _fused_specs(B, H, Lp, D, mb, mask_heads):
+    qkv = pl.BlockSpec((mb, None, Lp, D), lambda i, j: (i, j, 0, 0))
+    mspec = pl.BlockSpec((mb, None, Lp, Lp),
+                         (lambda i, j: (i, j, 0, 0)) if mask_heads > 1
+                         else (lambda i, j: (i, 0, 0, 0)))
+    seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return qkv, mspec, seed
+
+
+# p_drop is static (nondiff); seed is a traced int32[1] array whose
+# cotangent is None
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_attention(q, k, v, mask, p_drop, seed):
+    out, _ = _fused_call(q, k, v, mask, p_drop, seed)
+    return out
+
+
+def _fused_block_rows(B):
+    mb = 16
+    while B % mb:
+        mb //= 2
+    return max(mb, 1)
+
+
+def _fused_call(q, k, v, mask, p_drop, seed):
+    B, H, L, D = q.shape
+    qp, kp, vp, mp, Lp = _fused_prep(q, k, v, mask)
+    mb = _fused_block_rows(B)
+    qkv_spec, m_spec, seed_spec = _fused_specs(B, H, Lp, D, mb, mask.shape[1])
+    kern = functools.partial(_fused_fwd_kernel, scale=1.0 / float(np.sqrt(D)),
+                             p_drop=float(p_drop), mb=mb)
+    out = pl.pallas_call(
+        kern,
+        grid=(B // mb, H),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, m_spec, seed_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Lp, D), q.dtype),
+        interpret=_INTERPRET,
+    )(qp, kp, vp, mp, seed)
+    return out[:, :, :L, :], (q, k, v, mask)
+
+
+def _fused_attention_fwd(q, k, v, mask, p_drop, seed):
+    out, res = _fused_call(q, k, v, mask, p_drop, seed)
+    return out, res + (seed,)
+
+
+def _fused_attention_bwd(p_drop, res, g):
+    q, k, v, mask, seed = res
+    B, H, L, D = q.shape
+    qp, kp, vp, mp, Lp = _fused_prep(q, k, v, mask)
+    gp = jnp.pad(g, [(0, 0), (0, 0), (0, Lp - L), (0, 0)]) if Lp != L else g
+    mb = _fused_block_rows(B)
+    qkv_spec, m_spec, seed_spec = _fused_specs(B, H, Lp, D, mb, mask.shape[1])
+    kern = functools.partial(_fused_bwd_kernel, scale=1.0 / float(np.sqrt(D)),
+                             p_drop=float(p_drop), mb=mb)
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid=(B // mb, H),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, m_spec, seed_spec, qkv_spec],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, H, Lp, D), q.dtype)] * 3,
+        interpret=_INTERPRET,
+    )(qp, kp, vp, mp, seed, gp)
+    return (dq[:, :, :L, :], dk[:, :, :L, :], dv[:, :, :L, :], None, None)
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+def fused_supported(q, mask) -> bool:
+    B, H, L, D = q.shape
+    if L > _MAX_FUSED_SEQ_LEN:
+        return False
+    if not _INTERPRET and jax.default_backend() != "tpu":
+        return False
+    return True
+
+
+def short_attention(q, k, v, mask, p_drop: float = 0.0, dropout_rng=None,
+                    train: bool = False):
+    """Fused attention for short sequences, with optional in-kernel dropout.
+
+    Falls back to the XLA path (with flax-style dropout semantics via the
+    same rng) when the kernel isn't supported on this backend."""
+    drop = float(p_drop) if train and dropout_rng is not None else 0.0
+    # pltpu.prng_* has no CPU interpret lowering — dropout path is TPU-only
+    if fused_supported(q, mask) and not (drop > 0.0 and _INTERPRET):
+        if drop > 0.0:
+            seed = jax.random.randint(dropout_rng, (1,), 0, np.iinfo(np.int32).max,
+                                      dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+        return fused_attention(q, k, v, mask, drop, seed)
+    p = xla_attention_probs(q, k, mask)
+    if drop > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - drop, p.shape)
+        p = jnp.where(keep, p / (1.0 - drop), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def xla_attention_probs(q, k, mask):
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.asarray(d, q.dtype))
+    return jax.nn.softmax(s + mask, axis=-1)
 
 
 def causal_attention(q, k, v, mask, use_pallas: bool = True):
