@@ -75,3 +75,29 @@ def test_regularized_inverse_blocked_tier():
     Pref = np.linalg.inv(A.astype(np.float64))
     scale = np.abs(Pref).max()
     np.testing.assert_allclose(out / scale, Pref / scale, atol=2e-5)
+
+
+def test_slim_active_set_matches_full_cd():
+    """Active-set CD (O(N·K²)/sweep) equals the full cyclic CD exactly when
+    K covers every coordinate, and approximates it closely at modest K
+    (models/solvers.py SLIM._solve_active_set)."""
+    import scipy.sparse as ssp
+
+    from unirec_tpu.models.solvers import SLIM
+
+    rng = np.random.default_rng(0)
+    U, n = 300, 120
+    graph = ssp.csr_matrix((rng.random((U, n)) < 0.07).astype(np.float32))
+    cfg = {"n_users": U, "n_items": n, "l1_coef": 0.004, "l2_coef": 0.098,
+           "epochs": 30}
+    full = SLIM(dict(cfg))
+    full.solve(graph)
+    exact_k = SLIM(dict(cfg, slim_active_set_k=n - 1))
+    exact_k.solve(graph)
+    np.testing.assert_array_equal(exact_k.item_similarity,
+                                  full.item_similarity)
+    small_k = SLIM(dict(cfg, slim_active_set_k=40))
+    small_k.solve(graph)
+    rel = (np.linalg.norm(small_k.item_similarity - full.item_similarity)
+           / np.linalg.norm(full.item_similarity))
+    assert rel < 0.15, rel

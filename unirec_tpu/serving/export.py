@@ -96,8 +96,15 @@ def export_model(model_file: str, out_dir: str, batch_size: int = 0,
         fname = f"{name}.stablehlo"
         with open(os.path.join(out_dir, fname), "wb") as f:
             f.write(blob)
+        # raw StableHLO MLIR alongside the jax.export blob: this is what a
+        # non-Python PJRT consumer compiles directly (examples/serving_cpp/
+        # feeds it to PJRT_Client_Compile with format="mlir")
+        mlir_name = f"{name}.mlir"
+        with open(os.path.join(out_dir, mlir_name), "w") as f:
+            f.write(exported.mlir_module())
         manifest["functions"][name] = {
             "file": fname,
+            "mlir": mlir_name,
             "in_shapes": [[d if isinstance(d, int) else str(d) for d in s.shape]
                           for s in specs[name]],
         }
