@@ -62,7 +62,7 @@ WARMUP_STEPS = 3
 TIMED_STEPS = 24
 
 
-def build():
+def build(**overrides):
     from unirec_tpu import config as config_mod
     from unirec_tpu.core.optim import build_optimizer
     from unirec_tpu.data.device_pipeline import DeviceAugmenter, RawIdBatcher
@@ -84,7 +84,7 @@ def build():
         "hidden_dropout_prob": 0.1, "attn_dropout_prob": 0.1,
         "learning_rate": 1e-3, "group_size": -1,
         "n_sample_neg_train": N_NEG, "dataloader": "SeqRecDataset",
-        "history_mask_mode": "autoregressive",
+        "history_mask_mode": "autoregressive", **overrides,
     }, argv=[])
     model = get_model_class("SASRec")(cfg=cfg)
     tx = build_optimizer(cfg)

@@ -1,0 +1,69 @@
+"""Honest A/B of train-step variants at headline bench shapes.
+
+Variants (config overrides on bench.build):
+    baseline      f32, XLA dense attention path
+    bf16          compute_dtype=bfloat16 dense towers
+    fused_attn    Pallas fused short-seq attention (in-kernel dropout)
+    bf16+fused    both
+
+Run: python bench/bench_step_variants.py [variant ...]
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+import bench  # noqa: E402
+
+VARIANTS = {
+    "baseline": {"use_pallas": 0},
+    "bf16": {"use_pallas": 0, "compute_dtype": "bfloat16"},
+    "fused_attn": {"use_pallas": 1},
+    "bf16+fused": {"use_pallas": 1, "compute_dtype": "bfloat16"},
+}
+
+
+def run_variant(name, overrides, steps=16):
+    step, params, opt_state, raw, aug = bench.build(**overrides)
+    key = jax.random.PRNGKey(7)
+    it = iter(raw)
+    for i in range(3):
+        jb = aug.with_state({k: jnp.asarray(v) for k, v in next(it).items()})
+        params, opt_state, loss = step(params, opt_state, jb,
+                                       jax.random.fold_in(key, i))
+    float(jax.device_get(loss))
+    t0 = time.perf_counter()
+    n = 0
+    for batch in it:
+        if n >= steps:
+            break
+        jb = aug.with_state({k: jnp.asarray(v) for k, v in batch.items()})
+        params, opt_state, loss = step(params, opt_state, jb,
+                                       jax.random.fold_in(key, 100 + n))
+        n += 1
+    final_loss = float(jax.device_get(loss))
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "variant": name, "ms_per_step": round(1000 * dt, 2),
+        "examples_per_sec": round(bench.BATCH / dt, 1),
+        "final_loss": round(final_loss, 5),
+    }), flush=True)
+
+
+def main():
+    names = sys.argv[1:] or list(VARIANTS)
+    for name in names:
+        try:
+            run_variant(name, VARIANTS[name])
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"variant": name, "error": str(e)[:300]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -188,27 +188,49 @@ def _keep_mask(shape, p_drop: float):
     return bits >= jnp.int32(t)
 
 
-def _fused_fwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, o_ref,
-                      *, scale: float, p_drop: float, mb: int):
-    if p_drop > 0.0:
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+def _program_seed(seed_ref):
+    # single combined scalar: the multi-argument prng_seed form fails to
+    # compile on this Mosaic version (measured; single-arg compiles)
+    return seed_ref[0] + pl.program_id(0) * 7919 + pl.program_id(1)
 
-    def body(i, _):
-        q = q_ref[i].astype(jnp.float32) * scale
-        s = jnp.dot(q, k_ref[i].astype(jnp.float32).T,
-                    preferred_element_type=jnp.float32)
-        s = s + m_ref[i].astype(jnp.float32)
+
+def _dropped_probs(S, m_ref, p_drop, mb, Lp):
+    """Per-row-block masked softmax (+ optional in-kernel dropout) of the
+    batched score matrix S [mb*Lp, mb*Lp]; off-block entries come back 0.
+
+    S packs mb independent rows' scores; only the diagonal [Lp, Lp] blocks
+    are meaningful. Doing QKᵀ as ONE [mb*Lp, D]x[D, mb*Lp] matmul wastes
+    mb-fold MXU flops on off-block products but replaces mb tiny matmuls —
+    per-row [Lp, D] dots measured far slower than one big MXU op (the
+    fori_loop kernel version lost to dense XLA end-to-end). Softmax/dropout
+    then run on the 1x-work diagonal slices only (static Python unroll,
+    pure VMEM ops)."""
+    P = jnp.zeros_like(S)
+    for i in range(mb):
+        sl = slice(i * Lp, (i + 1) * Lp)
+        s = S[sl, sl] + m_ref[i].astype(jnp.float32)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         if p_drop > 0.0:
             keep = _keep_mask(p.shape, p_drop)
             p = jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0)
-        o_ref[i] = jnp.dot(p, v_ref[i].astype(jnp.float32),
-                           preferred_element_type=jnp.float32).astype(o_ref.dtype)
-        return _
+        P = P.at[sl, sl].set(p)
+    return P
 
-    jax.lax.fori_loop(0, mb, body, None)
+
+def _fused_fwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, o_ref,
+                      *, scale: float, p_drop: float, mb: int):
+    if p_drop > 0.0:
+        pltpu.prng_seed(_program_seed(seed_ref))
+    Lp, D = q_ref.shape[1], q_ref.shape[2]
+    Q = q_ref[...].reshape(mb * Lp, D).astype(jnp.float32) * scale
+    K = k_ref[...].reshape(mb * Lp, D).astype(jnp.float32)
+    V = v_ref[...].reshape(mb * Lp, D).astype(jnp.float32)
+    S = jnp.dot(Q, K.T, preferred_element_type=jnp.float32)
+    P = _dropped_probs(S, m_ref, p_drop, mb, Lp)
+    O = jnp.dot(P, V, preferred_element_type=jnp.float32)
+    o_ref[...] = O.reshape(mb, Lp, D).astype(o_ref.dtype)
 
 
 def _fused_bwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, do_ref,
@@ -216,38 +238,44 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, do_ref,
                       *, scale: float, p_drop: float, mb: int):
     if p_drop > 0.0:
         # identical seeding + generation order to the forward kernel → the
-        # dropout mask replays exactly
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
+        # dropout mask replays exactly (same per-block slice order)
+        pltpu.prng_seed(_program_seed(seed_ref))
+    Lp, D = q_ref.shape[1], q_ref.shape[2]
+    Q = q_ref[...].reshape(mb * Lp, D).astype(jnp.float32) * scale
+    K = k_ref[...].reshape(mb * Lp, D).astype(jnp.float32)
+    V = v_ref[...].reshape(mb * Lp, D).astype(jnp.float32)
+    dO = do_ref[...].reshape(mb * Lp, D).astype(jnp.float32)
+    S = jnp.dot(Q, K.T, preferred_element_type=jnp.float32)
 
-    def body(i, _):
-        q = q_ref[i].astype(jnp.float32) * scale
-        k = k_ref[i].astype(jnp.float32)
-        v = v_ref[i].astype(jnp.float32)
-        do = do_ref[i].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        s = s + m_ref[i].astype(jnp.float32)
+    # recompute y (pre-dropout softmax) and z (post-dropout) blockwise; also
+    # build dy = dropout-bwd(dZ) and ds = softmax-bwd(dy) in the same pass
+    dZ = jnp.dot(dO, V.T, preferred_element_type=jnp.float32)
+    Zb = jnp.zeros_like(S)
+    dS = jnp.zeros_like(S)
+    inv = 1.0 / (1.0 - p_drop) if p_drop > 0.0 else 1.0
+    for i in range(mb):
+        sl = slice(i * Lp, (i + 1) * Lp)
+        s = S[sl, sl] + m_ref[i].astype(jnp.float32)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         y = jnp.exp(s)
         y = y / jnp.sum(y, axis=-1, keepdims=True)
+        dz = dZ[sl, sl]
         if p_drop > 0.0:
             keep = _keep_mask(y.shape, p_drop)
-            inv = 1.0 / (1.0 - p_drop)
             z = jnp.where(keep, y * inv, 0.0)
+            dy = jnp.where(keep, dz * inv, 0.0)
         else:
             z = y
-        dv_ref[i] = jnp.dot(z.T, do,
-                            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-        dz = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        dy = jnp.where(keep, dz * inv, 0.0) if p_drop > 0.0 else dz
+            dy = dz
         t = jnp.sum(dy * y, axis=-1, keepdims=True)
-        ds = y * (dy - t)
-        dq_ref[i] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
-                     * scale).astype(dq_ref.dtype)
-        dk_ref[i] = jnp.dot(ds.T, q,
-                            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
-        return _
-
-    jax.lax.fori_loop(0, mb, body, None)
+        Zb = Zb.at[sl, sl].set(z)
+        dS = dS.at[sl, sl].set(y * (dy - t))
+    dv = jnp.dot(Zb.T, dO, preferred_element_type=jnp.float32)
+    dq = jnp.dot(dS, K, preferred_element_type=jnp.float32) * scale
+    dk = jnp.dot(dS.T, Q, preferred_element_type=jnp.float32)
+    dq_ref[...] = dq.reshape(mb, Lp, D).astype(dq_ref.dtype)
+    dk_ref[...] = dk.reshape(mb, Lp, D).astype(dk_ref.dtype)
+    dv_ref[...] = dv.reshape(mb, Lp, D).astype(dv_ref.dtype)
 
 
 def _pad_len(L: int) -> int:
@@ -287,8 +315,12 @@ def fused_attention(q, k, v, mask, p_drop, seed):
     return out
 
 
-def _fused_block_rows(B):
-    mb = 16
+def _fused_block_rows(B, Lp):
+    # batched score matrix is [mb*Lp, mb*Lp] f32; bwd holds ~4 of them in
+    # VMEM (S, dZ, Z, dS) -> keep mb*Lp around 512 (4 x 1 MB)
+    mb = 8
+    while mb * Lp > 512 and mb > 1:
+        mb //= 2
     while B % mb:
         mb //= 2
     return max(mb, 1)
@@ -297,7 +329,7 @@ def _fused_block_rows(B):
 def _fused_call(q, k, v, mask, p_drop, seed):
     B, H, L, D = q.shape
     qp, kp, vp, mp, Lp = _fused_prep(q, k, v, mask)
-    mb = _fused_block_rows(B)
+    mb = _fused_block_rows(B, Lp)
     qkv_spec, m_spec, seed_spec = _fused_specs(B, H, Lp, D, mb, mask.shape[1])
     kern = functools.partial(_fused_fwd_kernel, scale=1.0 / float(np.sqrt(D)),
                              p_drop=float(p_drop), mb=mb)
@@ -322,7 +354,7 @@ def _fused_attention_bwd(p_drop, res, g):
     B, H, L, D = q.shape
     qp, kp, vp, mp, Lp = _fused_prep(q, k, v, mask)
     gp = jnp.pad(g, [(0, 0), (0, 0), (0, Lp - L), (0, 0)]) if Lp != L else g
-    mb = _fused_block_rows(B)
+    mb = _fused_block_rows(B, Lp)
     qkv_spec, m_spec, seed_spec = _fused_specs(B, H, Lp, D, mb, mask.shape[1])
     kern = functools.partial(_fused_bwd_kernel, scale=1.0 / float(np.sqrt(D)),
                              p_drop=float(p_drop), mb=mb)
