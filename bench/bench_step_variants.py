@@ -23,8 +23,11 @@ import bench  # noqa: E402
 VARIANTS = {
     "baseline": {"use_pallas": 0},
     "bf16": {"use_pallas": 0, "compute_dtype": "bfloat16"},
-    "fused_attn": {"use_pallas": 1},
-    "bf16+fused": {"use_pallas": 1, "compute_dtype": "bfloat16"},
+    "fused_attn": {"use_fused_attention": 1},
+    "bf16+fused": {"use_fused_attention": 1, "compute_dtype": "bfloat16"},
+    "sorted_grad": {"use_pallas": 0, "sorted_embedding_grad": 1},
+    "bf16+sorted": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                    "sorted_embedding_grad": 1},
 }
 
 

@@ -235,3 +235,26 @@ def test_short_attention_dropout_fallback_on_cpu():
     ref = jnp.einsum("bhqk,bhkd->bhqd",
                      jnp.where(keep, ref_probs / 0.5, 0.0), v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+# ---------------------------------------------------- sorted-grad embedding
+def test_sorted_grad_gather_matches_plain():
+    from unirec_tpu.ops.embedding import gather
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(50, 8)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 50, size=(6, 9)), jnp.int32)
+    g = jnp.asarray(rng.normal(size=(6, 9, 8)), jnp.float32)
+
+    out = gather(table, ids)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(table[ids]))
+
+    def loss_custom(t):
+        return jnp.vdot(gather(t, ids), g)
+
+    def loss_plain(t):
+        return jnp.vdot(t[ids], g)
+
+    gc = jax.grad(loss_custom)(table)
+    gp = jax.grad(loss_plain)(table)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gp), atol=1e-5)

@@ -146,6 +146,12 @@ class BaseRecommender(nn.Module):
 
     # ------------------------------------------------------------- embeddings
     def _masked_gather(self, emb: nn.Embed, ids: jnp.ndarray) -> jnp.ndarray:
+        if self.cfg.get("sorted_embedding_grad"):
+            # sort-based backward scatter (ops/embedding.py) — the plain
+            # gather's unsorted scatter-add grad is ~10x over its roofline
+            # at bench shapes
+            from unirec_tpu.ops.embedding import gather
+            return gather(emb.embedding, ids) * (ids != 0)[..., None]
         return emb(ids) * (ids != 0)[..., None]
 
     def _text_emb(self, items: jnp.ndarray) -> jnp.ndarray:

@@ -117,6 +117,7 @@ class MultiHeadAttention(nn.Module):
     layer_norm_eps: float
     kernel_init: Callable = nn.initializers.normal(0.02)
     use_flash: bool = False
+    use_fused: bool = False  # opt-in fused short-seq kernel (see dispatch)
     dtype: Any = None  # computation dtype (params stay fp32)
 
     @nn.compact
@@ -133,10 +134,13 @@ class MultiHeadAttention(nn.Module):
 
         from unirec_tpu.ops import attention as attn_ops
         drop_on = train and self.attn_dropout_prob > 0.0
-        if self.use_flash and attn_ops.fused_supported(q, attn_mask):
-            # fused short-seq kernel: scores/softmax/dropout/@V in VMEM, with
-            # in-kernel PRNG dropout — no [B, H, L, L] HBM tensor (the XLA
-            # path below spends ~half the train step there at bench shapes)
+        if self.use_fused and attn_ops.fused_supported(q, attn_mask):
+            # fused short-seq kernel (in-kernel PRNG dropout, no [B,H,L,L]
+            # HBM tensor). OPT-IN: at reference shapes (L<=50, D=32) the
+            # XLA batched-einsum path measured faster than both kernel
+            # designs (bench/bench_attention.py — 38.5 ms vs 54 ms fwd at
+            # B=32k), so the dense path below stays the default; the kernel
+            # wins as L/D grow toward the VMEM limit.
             ctx = attn_ops.short_attention(
                 q, k, v, attn_mask, p_drop=self.attn_dropout_prob,
                 dropout_rng=self.make_rng("dropout") if drop_on else None,
@@ -190,6 +194,7 @@ class TransformerLayer(nn.Module):
     layer_norm_eps: float
     kernel_init: Callable = nn.initializers.normal(0.02)
     use_flash: bool = False
+    use_fused: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -197,7 +202,7 @@ class TransformerLayer(nn.Module):
         x = MultiHeadAttention(self.n_heads, self.hidden_size,
                                self.hidden_dropout_prob, self.attn_dropout_prob,
                                self.layer_norm_eps, self.kernel_init,
-                               self.use_flash, self.dtype,
+                               self.use_flash, self.use_fused, self.dtype,
                                name="multi_head_attention")(x, attn_mask, train)
         return FeedForward(self.hidden_size, self.inner_size,
                            self.hidden_dropout_prob, self.hidden_act,
@@ -216,6 +221,7 @@ class TransformerEncoder(nn.Module):
     layer_norm_eps: float = 1e-12
     kernel_init: Callable = nn.initializers.normal(0.02)
     use_flash: bool = False
+    use_fused: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -224,7 +230,8 @@ class TransformerEncoder(nn.Module):
             x = TransformerLayer(self.n_heads, self.hidden_size, self.inner_size,
                                  self.hidden_dropout_prob, self.attn_dropout_prob,
                                  self.hidden_act, self.layer_norm_eps,
-                                 self.kernel_init, self.use_flash, self.dtype,
+                                 self.kernel_init, self.use_flash,
+                                 self.use_fused, self.dtype,
                                  name=f"layer_{i}")(x, attn_mask, train)
         return x
 

@@ -45,6 +45,7 @@ class SASRec(SeqRecBase):
             layer_norm_eps=float(c.get("layer_norm_eps", 1e-12)),
             kernel_init=init,
             use_flash=bool(c.get("use_pallas", True)),
+            use_fused=bool(c.get("use_fused_attention", 0)),
             dtype=self.compute_dtype)
         self.input_ln = nn.LayerNorm(epsilon=float(c.get("layer_norm_eps", 1e-12)),
                                      name="LayerNorm")

@@ -205,7 +205,7 @@ def _dropped_probs(S, m_ref, p_drop, mb, Lp):
     fori_loop kernel version lost to dense XLA end-to-end). Softmax/dropout
     then run on the 1x-work diagonal slices only (static Python unroll,
     pure VMEM ops)."""
-    P = jnp.zeros_like(S)
+    blocks = []
     for i in range(mb):
         sl = slice(i * Lp, (i + 1) * Lp)
         s = S[sl, sl] + m_ref[i].astype(jnp.float32)
@@ -215,8 +215,27 @@ def _dropped_probs(S, m_ref, p_drop, mb, Lp):
         if p_drop > 0.0:
             keep = _keep_mask(p.shape, p_drop)
             p = jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0)
-        P = P.at[sl, sl].set(p)
-    return P
+        blocks.append(p)
+    return _block_diag(blocks, Lp, mb)
+
+
+def _block_diag(blocks, Lp, mb):
+    """Assemble diag(blocks) [mb*Lp, mb*Lp] with static concatenation —
+    functional .at[].set updates lower to an (unsupported) Mosaic scatter."""
+    if mb == 1:
+        return blocks[0]
+    dtype = blocks[0].dtype
+    rows = []
+    for i, p in enumerate(blocks):
+        parts = []
+        if i:
+            parts.append(jnp.zeros((Lp, i * Lp), dtype))
+        parts.append(p)
+        if mb - 1 - i:
+            parts.append(jnp.zeros((Lp, (mb - 1 - i) * Lp), dtype))
+        rows.append(jnp.concatenate(parts, axis=1) if len(parts) > 1
+                    else parts[0])
+    return jnp.concatenate(rows, axis=0)
 
 
 def _fused_fwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, o_ref,
@@ -250,8 +269,7 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, do_ref,
     # recompute y (pre-dropout softmax) and z (post-dropout) blockwise; also
     # build dy = dropout-bwd(dZ) and ds = softmax-bwd(dy) in the same pass
     dZ = jnp.dot(dO, V.T, preferred_element_type=jnp.float32)
-    Zb = jnp.zeros_like(S)
-    dS = jnp.zeros_like(S)
+    z_blocks, ds_blocks = [], []
     inv = 1.0 / (1.0 - p_drop) if p_drop > 0.0 else 1.0
     for i in range(mb):
         sl = slice(i * Lp, (i + 1) * Lp)
@@ -268,8 +286,10 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, do_ref,
             z = y
             dy = dz
         t = jnp.sum(dy * y, axis=-1, keepdims=True)
-        Zb = Zb.at[sl, sl].set(z)
-        dS = dS.at[sl, sl].set(y * (dy - t))
+        z_blocks.append(z)
+        ds_blocks.append(y * (dy - t))
+    Zb = _block_diag(z_blocks, Lp, mb)
+    dS = _block_diag(ds_blocks, Lp, mb)
     dv = jnp.dot(Zb.T, dO, preferred_element_type=jnp.float32)
     dq = jnp.dot(dS, K, preferred_element_type=jnp.float32) * scale
     dk = jnp.dot(dS.T, Q, preferred_element_type=jnp.float32)
