@@ -51,12 +51,14 @@ BASELINE_EXAMPLES_PER_SEC = 25_000.0
 PEAK_TFLOPS = 197.0
 PEAK_HBM_GBS = 819.0
 
+import os as _os
+
 N_ITEMS = 50_000
 N_USERS = 100_000
 HIST_CAP = 200
 SEQ_LEN = 50
 EMB_DIM = 64
-BATCH = 32_768
+BATCH = int(_os.environ.get("BENCH_BATCH", 32_768))
 N_NEG = 9
 WARMUP_STEPS = 3
 TIMED_STEPS = 24

@@ -44,17 +44,55 @@ def main():
     G.block_until_ready()
     t_gram = time.perf_counter() - t0
 
+    from unirec_tpu.ops.linalg import blocked_cholesky, blocked_tri_inv_lower
+
+    # phase 1: factorization+inverse, compile vs steady-state separated
+    chol = jax.jit(blocked_cholesky, static_argnums=1)
+    triinv = jax.jit(blocked_tri_inv_lower, static_argnums=1)
+    t0 = time.perf_counter()
+    L = chol(G, nb)
+    L.block_until_ready()
+    t_chol_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    X = triinv(L, nb)
+    X.block_until_ready()
+    t_tri_cold = time.perf_counter() - t0
+
+    # steady state (compile cache hot): rerun on the same operands
+    t0 = time.perf_counter()
+    X2 = triinv(chol(G, nb), nb)
+    X2.block_until_ready()
+    t_factor_warm = time.perf_counter() - t0
+
+    # phase 2a: device-only column sweep (checksum reduce, no host transfer)
+    @jax.jit
+    def slab_sum(X, c):
+        cols = jax.lax.dynamic_slice(X, (0, c), (N, nb))
+        return jnp.abs(X.T @ cols).sum()
+
+    t0 = time.perf_counter()
+    acc = 0.0
+    for c in range(0, N, nb):
+        acc += float(slab_sum(X, min(c, N - nb)))
+    t_cols_device = time.perf_counter() - t0
+
+    # phase 2b: full streamed inverse incl. host transfer (tunnel-bound in
+    # this dev environment: ~N*N*4 bytes over the relay)
     t0 = time.perf_counter()
     out_cols = 0
-    checksum = 0.0
     for c, slab in spd_inverse_columns(G, nb):
         out_cols += slab.shape[1]
-        checksum += float(np.abs(slab).sum())
-    dt = time.perf_counter() - t0
+    t_streamed = time.perf_counter() - t0
+
     print(json.dumps({
         "metric": "ease_blocked_inverse", "n_items": N, "block": nb,
-        "gram_s": round(t_gram, 2), "inverse_s": round(dt, 2),
-        "cols": out_cols, "checksum": round(checksum, 2),
+        "gram_s": round(t_gram, 2),
+        "chol_cold_s": round(t_chol_cold, 2),
+        "triinv_cold_s": round(t_tri_cold, 2),
+        "factor_warm_s": round(t_factor_warm, 2),
+        "column_sweep_device_s": round(t_cols_device, 2),
+        "streamed_total_s": round(t_streamed, 2),
+        "cols": out_cols, "checksum": round(acc, 2),
     }))
 
 

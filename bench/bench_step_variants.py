@@ -31,7 +31,7 @@ VARIANTS = {
 }
 
 
-def run_variant(name, overrides, steps=16):
+def run_variant(name, overrides, steps=16, trace_dir=None):
     step, params, opt_state, raw, aug = bench.build(**overrides)
     key = jax.random.PRNGKey(7)
     it = iter(raw)
@@ -51,18 +51,30 @@ def run_variant(name, overrides, steps=16):
         n += 1
     final_loss = float(jax.device_get(loss))
     dt = (time.perf_counter() - t0) / n
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            for i in range(4):
+                jb = aug.with_state({k: jnp.asarray(v)
+                                     for k, v in next(iter(raw)).items()})
+                params, opt_state, loss = step(params, opt_state, jb,
+                                               jax.random.fold_in(key, 500 + i))
+            float(jax.device_get(loss))
     print(json.dumps({
         "variant": name, "ms_per_step": round(1000 * dt, 2),
         "examples_per_sec": round(bench.BATCH / dt, 1),
         "final_loss": round(final_loss, 5),
+        **({"trace_dir": trace_dir} if trace_dir else {}),
     }), flush=True)
 
 
 def main():
-    names = sys.argv[1:] or list(VARIANTS)
+    args = [a for a in sys.argv[1:] if not a.startswith("--trace")]
+    trace = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                  if a.startswith("--trace=")), None)
+    names = args or list(VARIANTS)
     for name in names:
         try:
-            run_variant(name, VARIANTS[name])
+            run_variant(name, VARIANTS[name], trace_dir=trace)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"variant": name, "error": str(e)[:300]}),
                   flush=True)

@@ -19,8 +19,8 @@ import sys
 from unirec_tpu import config as config_mod
 
 COMMANDS = ("train", "test", "infer", "infer-embedding", "reco-topk",
-            "prepare-data", "download-data", "convert-splits", "export",
-            "sweep")
+            "prepare-data", "download-data", "convert-splits",
+            "prepare-adaranker", "export", "sweep")
 
 
 def main(argv=None):
@@ -66,6 +66,24 @@ def main(argv=None):
         else:
             raise SystemExit(f"unknown dataset '{name}' "
                              "(ml-100k, ml-10m, amazon-<category>)")
+        print(info)
+        return 0
+    if cmd == "prepare-adaranker":
+        # role of the reference's specific_datasets/ranker.py run_adaranker
+        # + word2vec pretrain
+        from unirec_tpu.data.ranker_prep import (build_adaranker_dataset,
+                                                 pretrain_item2vec)
+        kw = config_mod.parse_cmd_arguments(rest)
+        out = kw.pop("out_dir")
+        info = build_adaranker_dataset(kw.pop("infile"),
+                                       kw.pop("item2cate_file"), out,
+                                       n_neg_k=int(kw.pop("n_neg_k", 5)))
+        if int(kw.pop("pretrain_item_emb", 0)):
+            import pandas as pd
+            dim = int(kw.pop("embedding_size", 64))
+            hist = pd.read_pickle(f"{out}/user_history.pkl")
+            pretrain_item2vec(list(hist["item_seq"]), info["n_items"],
+                              dim=dim, out_path=f"{out}/item_emb_{dim}.txt")
         print(info)
         return 0
     if cmd == "convert-splits":
