@@ -86,7 +86,12 @@ def build(**overrides):
         "hidden_dropout_prob": 0.1, "attn_dropout_prob": 0.1,
         "learning_rate": 1e-3, "group_size": -1,
         "n_sample_neg_train": N_NEG, "dataloader": "SeqRecDataset",
-        "history_mask_mode": "autoregressive", **overrides,
+        "history_mask_mode": "autoregressive",
+        # measured-best config (bench/bench_step_variants.py): bf16 dense
+        # towers (params stay f32) — 330 -> 289 ms/step; one-hot windowing
+        # gave a further -12.6 ms. Kernel/sorted-grad variants measured
+        # slower and stay off (docs/performance_notes.md).
+        "compute_dtype": "bfloat16", **overrides,
     }, argv=[])
     model = get_model_class("SASRec")(cfg=cfg)
     tx = build_optimizer(cfg)

@@ -61,14 +61,16 @@ def main():
     # steady state (compile cache hot): rerun on the same operands
     t0 = time.perf_counter()
     X2 = triinv(chol(G, nb), nb)
-    X2.block_until_ready()
+    # block_until_ready on this backend has been observed not to wait
+    # (see docs/performance_notes.md) — force a real round-trip
+    float(jax.device_get(X2[0, 0]))
     t_factor_warm = time.perf_counter() - t0
 
     # phase 2a: device-only column sweep (checksum reduce, no host transfer)
     @jax.jit
     def slab_sum(X, c):
         cols = jax.lax.dynamic_slice(X, (0, c), (N, nb))
-        return jnp.abs(X.T @ cols).sum()
+        return jnp.abs(jnp.einsum("ki,kj->ij", X, cols)).sum()
 
     t0 = time.perf_counter()
     acc = 0.0

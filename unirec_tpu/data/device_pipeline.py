@@ -143,16 +143,27 @@ class DeviceAugmenter:
         grid = n[:, None] - L + jnp.arange(L)[None, :]
         valid = grid >= 0
         gi = jnp.clip(grid, 0, C - 1)
-        # windowing as a one-hot matmul instead of take_along_axis: XLA's
-        # row-wise int gather measured 16.7 ms/step at bench shapes (B=32k,
-        # C=200) while the [B, L, C] one-hot einsum rides the MXU for ~3 ms.
-        # Item ids stay exact in f32 below 2^24.
-        onehot = (gi[:, :, None] == jnp.arange(C)[None, None, :]) & valid[:, :, None]
-        sel = lambda r: jnp.einsum(
-            "blc,bc->bl", onehot.astype(jnp.float32), r.astype(jnp.float32),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        seq = sel(rows)
-        tseq = sel(trows) if trows is not None else None
+        if B * L * C <= 400_000_000:
+            # windowing as a one-hot matmul instead of take_along_axis:
+            # XLA's row-wise int gather measured 16.7 ms/step at bench
+            # shapes (B=32k, C=200) while the [B, L, C] one-hot einsum
+            # rides the MXU for ~3 ms (measured -12.6 ms/step end-to-end).
+            # Item ids stay exact in f32 below 2^24. Above ~400M one-hot
+            # elements the temporary breaks compilation — gather fallback.
+            onehot = (gi[:, :, None] == jnp.arange(C)[None, None, :]) \
+                & valid[:, :, None]
+            sel = lambda r: jnp.einsum(
+                "blc,bc->bl", onehot.astype(jnp.float32),
+                r.astype(jnp.float32),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            seq = sel(rows)
+            tseq = sel(trows) if trows is not None else None
+        else:
+            seq = (jnp.take_along_axis(rows, gi, axis=1) * valid).astype(jnp.int32)
+            tseq = None
+            if trows is not None:
+                tseq = (jnp.take_along_axis(trows, gi, axis=1)
+                        * valid).astype(jnp.int32)
         return seq, jnp.minimum(n, L).astype(jnp.int32), tseq
 
     # ------------------------------------------------------------------

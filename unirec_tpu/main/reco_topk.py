@@ -4,7 +4,7 @@ TPU-native counterpart of the reference unirec/main/reco_topk.py:22-187. The
 reference computes ``user_emb @ item_emb.T`` in CPU numpy and ranks with an
 argpartition helper (reco_topk.py:56,87); here one jitted program per batch
 does the full-catalog matmul on the MXU, masks user histories to -inf
-(keeping the ``last_item`` target competitive), and takes ``jax.lax.top_k``
+(keeping the ``last_item`` target competitive), and takes a chunked exact top-k
 on device — only the [B, topk] id matrix returns to host.
 
 Two modes, matching the reference:
@@ -65,7 +65,8 @@ def get_topk_recommendations(config, model, params, constants,
         masked = masked.at[:, 0].set(-jnp.inf)
         if last_item > 0:  # held-out target stays competitive (reco_topk.py:81-85)
             masked = masked.at[rows, target].set(target_score)
-        return jax.lax.top_k(masked, topk)[1]
+        from unirec_tpu.ops.topk import fast_topk
+        return fast_topk(masked, topk)[1]
 
     if traceable:
         topk_fn = jax.jit(topk_fn)

@@ -93,7 +93,8 @@ def onepos_rank_full_catalog(scores: jnp.ndarray, pos_items: jnp.ndarray,
     # top-k recommendation list: positive competes with its real score
     # (evaluator_abc.py:124-128 positive-slot trick + get_topk_index)
     with_pos = masked.at[rows, pos_items].set(pos_score)
-    topk_ids = jax.lax.top_k(with_pos, topk)[1]
+    from unirec_tpu.ops.topk import fast_topk
+    topk_ids = fast_topk(with_pos, topk)[1]
     return rank, topk_ids
 
 
@@ -149,7 +150,8 @@ def multipos_topk_and_metrics(scores: jnp.ndarray, pos_items: jnp.ndarray,
         scores, masked)
     masked = masked.at[:, 0].set(NINF_SCORE)
 
-    _, top_ids = jax.lax.top_k(masked, max_k)               # [B, K]
+    from unirec_tpu.ops.topk import fast_topk
+    _, top_ids = fast_topk(masked, max_k)                   # [B, K]
     hits = (top_ids[:, :, None] == pos_items[:, None, :]) & (pos_items[:, None, :] > 0)
     hit_at = hits.any(-1).astype(jnp.float32)               # [B, K]
     n_pos = (pos_items > 0).sum(-1).astype(jnp.float32)     # [B]
