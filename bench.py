@@ -102,9 +102,15 @@ def build(**overrides):
                        rng.integers(1, N_ITEMS, size=n_rows), BATCH,
                        shuffle=False)
 
+    # mirror facility/trainer.py: optional TPU hardware-RNG dropout stream
+    rbg_dropout = str(cfg.get("dropout_rng_impl", "threefry")) == "rbg"
+
     def train_step(params, opt_state, batch, rng):
         rng, k_aug = jax.random.split(rng)
         full = aug.augment(batch, k_aug)
+        if rbg_dropout:
+            rng = jax.random.wrap_key_data(
+                jax.random.bits(rng, (4,), jnp.uint32), impl="rbg")
 
         def loss_fn(p):
             loss, _ = model.apply({"params": p}, full, train=True,

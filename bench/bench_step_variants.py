@@ -28,6 +28,10 @@ VARIANTS = {
     "sorted_grad": {"use_pallas": 0, "sorted_embedding_grad": 1},
     "bf16+sorted": {"use_pallas": 0, "compute_dtype": "bfloat16",
                     "sorted_embedding_grad": 1},
+    # round-2b: bf16 now keeps the attention core in bf16 (mask cast in
+    # modules.py); +rbg swaps dropout onto the hardware rng_bit_generator
+    "bf16+rbg": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                 "dropout_rng_impl": "rbg"},
 }
 
 

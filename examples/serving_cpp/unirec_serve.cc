@@ -25,7 +25,9 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <fstream>
 #include <string>
 #include <vector>
@@ -163,9 +165,57 @@ int main(int argc, char** argv) {
   CheckError(api, api->PJRT_Plugin_Initialize(&init_args), "plugin init");
 
   // ---- client + device
+  // Optional plugin create-options, supplied as K=V pairs (ints detected
+  // numerically) in UNIREC_PJRT_OPTIONS, semicolon-separated. The axon dev
+  // plugin, for example, needs
+  //   remote_compile=1;local_only=0;priority=0;topology=v5e:1x1x1;
+  //   n_slices=1;session_id=<uuid>;rank=4294967295
+  // (mirrors axon/register/pjrt.py options), PLUS the process env its
+  // sitecustomize exports before PJRT init: AXON_POOL_SVC_OVERRIDE,
+  // TPU_WORKER_HOSTNAMES, AXON_COMPAT_VERSION (see tests/test_serving_cpp.py).
+  // libtpu on a TPU VM needs none of this.
+  std::vector<PJRT_NamedValue> create_opts;
+  // deque: pointer stability for c_str() while appending
+  std::deque<std::string> opt_store;
+  if (const char* env = std::getenv("UNIREC_PJRT_OPTIONS")) {
+    std::string all(env);
+    size_t pos = 0;
+    while (pos < all.size()) {
+      size_t end = all.find(';', pos);
+      if (end == std::string::npos) end = all.size();
+      std::string kv = all.substr(pos, end - pos);
+      pos = end + 1;
+      size_t eq = kv.find('=');
+      if (eq == std::string::npos || kv.empty()) continue;
+      opt_store.push_back(kv.substr(0, eq));
+      const std::string& key = opt_store.back();
+      std::string val = kv.substr(eq + 1);
+      PJRT_NamedValue nv;
+      std::memset(&nv, 0, sizeof(nv));
+      nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+      nv.name = key.c_str();
+      nv.name_size = key.size();
+      char* parse_end = nullptr;
+      long long as_int = std::strtoll(val.c_str(), &parse_end, 10);
+      if (parse_end && *parse_end == '\0' && !val.empty()) {
+        nv.type = PJRT_NamedValue_kInt64;
+        nv.int64_value = static_cast<int64_t>(as_int);
+        nv.value_size = 1;
+      } else {
+        opt_store.push_back(val);
+        nv.type = PJRT_NamedValue_kString;
+        nv.string_value = opt_store.back().c_str();
+        nv.value_size = opt_store.back().size();
+      }
+      create_opts.push_back(nv);
+    }
+  }
+
   PJRT_Client_Create_Args cargs;
   std::memset(&cargs, 0, sizeof(cargs));
   cargs.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cargs.create_options = create_opts.empty() ? nullptr : create_opts.data();
+  cargs.num_options = create_opts.size();
   CheckError(api, api->PJRT_Client_Create(&cargs), "client create");
   PJRT_Client* client = cargs.client;
 
@@ -193,9 +243,18 @@ int main(int argc, char** argv) {
   comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
   comp.client = client;
   comp.program = &program;
-  // empty serialized CompileOptionsProto: plugin defaults (1 replica)
-  comp.compile_options = "";
-  comp.compile_options_size = 0;
+  // serialized CompileOptionsProto: the exporter writes a valid default
+  // next to the modules (some plugins reject an empty blob)
+  std::string copts;
+  {
+    std::string dir = mlir_path.substr(0, mlir_path.find_last_of('/') + 1);
+    std::ifstream f(dir + "compile_options.pb", std::ios::binary);
+    if (f)
+      copts.assign(std::istreambuf_iterator<char>(f),
+                   std::istreambuf_iterator<char>());
+  }
+  comp.compile_options = copts.data();
+  comp.compile_options_size = copts.size();
   CheckError(api, api->PJRT_Client_Compile(&comp), "compile");
   PJRT_LoadedExecutable* executable = comp.executable;
 

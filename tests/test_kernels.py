@@ -258,3 +258,77 @@ def test_sorted_grad_gather_matches_plain():
     gc = jax.grad(loss_custom)(table)
     gp = jax.grad(loss_plain)(table)
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gp), atol=1e-5)
+
+
+def _tiny_sasrec(compute_dtype):
+    from unirec_tpu import config as config_mod
+    from unirec_tpu.utils.registry import get_model_class
+
+    cfg = config_mod.parse_arguments({
+        "model": "SASRec", "n_users": 50, "n_items": 80, "max_seq_len": 10,
+        "embedding_size": 16, "hidden_size": 16, "inner_size": 32,
+        "n_layers": 1, "n_heads": 2, "loss_type": "bce", "group_size": -1,
+        "dataloader": "SeqRecDataset", "n_sample_neg_train": 2,
+        "hidden_dropout_prob": 0.1, "attn_dropout_prob": 0.1,
+        "compute_dtype": compute_dtype, "use_pallas": 0}, argv=[])
+    model = get_model_class("SASRec")(cfg=cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "user_id": jnp.asarray(rng.integers(1, 50, 8), jnp.int32),
+        "item_id": jnp.asarray(rng.integers(1, 80, (8, 3)), jnp.int32),
+        "label": jnp.asarray(
+            np.concatenate([np.ones((8, 1)), np.zeros((8, 2))], 1),
+            jnp.float32),
+        "item_seq": jnp.asarray(rng.integers(0, 80, (8, 10)), jnp.int32),
+        "item_seq_len": jnp.asarray(rng.integers(1, 10, 8), jnp.int32),
+    }
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, batch,
+                        train=False)
+    return model, params, batch
+
+
+def test_bf16_attention_core_stays_bf16():
+    """Regression: the additive attention mask must not upcast the
+    [B, H, L, L] score/softmax/dropout chain back to f32 — that silently
+    doubled the HBM traffic of the dominant bench-step tensors (the mask
+    is built in f32 by causal_attention_mask and added to bf16 scores)."""
+    model, params, batch = _tiny_sasrec("bfloat16")
+
+    def fwd(p):
+        loss, _ = model.apply(p, batch, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(2)})
+        return loss
+
+    hlo = jax.jit(fwd).lower(params).as_text()
+    # L=10 heads=2 B=8: any 8x2x10x10 tensor is the attention core.
+    # The RNG's elementwise internals and softmax's f32 accumulator fuse
+    # away; the ops that MATERIALIZE [B,H,L,L] are the score add, the
+    # softmax divide, the dropout select and the two dot_generals — none
+    # may produce f32.
+    assert "tensor<8x2x10x10xbf16>" in hlo
+    main = hlo.split("func.func private", 1)[0]  # RNG helpers fuse away
+    for op in ("dot_general", "divide", "select", "add"):
+        for line in main.splitlines():
+            if f"stablehlo.{op}" in line and \
+                    line.strip().startswith("%") and \
+                    line.rstrip().endswith("tensor<8x2x10x10xf32>"):
+                raise AssertionError(f"f32 attention-core op: {line.strip()}")
+
+
+def test_bf16_forward_close_to_f32():
+    model32, params, batch = _tiny_sasrec("float32")
+    model16, _, _ = _tiny_sasrec("bfloat16")
+    l32, _ = model32.apply(params, batch, train=False)
+    l16, _ = model16.apply(params, batch, train=False)
+    np.testing.assert_allclose(float(l32), float(l16), rtol=2e-2)
+
+
+def test_rbg_dropout_key_trains():
+    """dropout_rng_impl=rbg wraps the step rng onto the hardware RNG path;
+    flax dropout must accept the typed key and produce a finite loss."""
+    model, params, batch = _tiny_sasrec("float32")
+    k = jax.random.wrap_key_data(
+        jax.random.bits(jax.random.PRNGKey(3), (4,), jnp.uint32), impl="rbg")
+    loss, _ = model.apply(params, batch, train=True, rngs={"dropout": k})
+    assert np.isfinite(float(loss))

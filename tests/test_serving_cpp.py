@@ -70,6 +70,29 @@ def test_cpp_client_matches_python(tmp_path):
     tensor_io.write_tensors(str(tmp_path / "in.bin"), inputs)
 
     env = dict(os.environ)
+    if "axon" in PLUGIN and "UNIREC_PJRT_OPTIONS" not in env:
+        # the axon dev plugin needs the same create-options the python
+        # registration passes (axon/register/pjrt.py)
+        import uuid
+        gen = env.get("PALLAS_AXON_TPU_GEN", "v5e")
+        rc = 1 if env.get("PALLAS_AXON_REMOTE_COMPILE") == "1" else 0
+        env["UNIREC_PJRT_OPTIONS"] = (
+            f"remote_compile={rc};local_only=0;priority=0;"
+            f"topology={gen}:1x1x1;n_slices=1;"
+            f"session_id={uuid.uuid4()};rank=4294967295")
+        # ...and the process env that sitecustomize.py exports at runtime
+        # BEFORE the python PJRT init: without AXON_POOL_SVC_OVERRIDE the
+        # stateful session leg resolves the pool's headless-service DNS
+        # (zero egress here → "connection dropped"); compile is a
+        # separate stateless leg, which is why it worked without this.
+        env.setdefault("AXON_POOL_SVC_OVERRIDE", "127.0.0.1")
+        env.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+        env.setdefault("PJRT_LIBRARY_PATH", PLUGIN)
+        try:
+            from axon.register import COMPAT_VERSION
+            env.setdefault("AXON_COMPAT_VERSION", str(COMPAT_VERSION))
+        except ImportError:
+            pass
     subprocess.run(
         [binary, PLUGIN, os.path.join(art, "score.mlir"),
          str(tmp_path / "in.bin"), str(tmp_path / "out.bin")],

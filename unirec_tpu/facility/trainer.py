@@ -162,11 +162,21 @@ class Trainer:
         constants = self.constants
         frozen = self._frozen_mask()
         augmenter = self._augmenter
+        # dropout_rng_impl=rbg swaps the dropout stream onto the TPU's
+        # hardware rng_bit_generator: threefry over the [B, H, L, L]
+        # attention-dropout shape is pure VPU arithmetic and shows up in
+        # the step profile at bench scale. Opt-in; threefry stays the
+        # default for bit-reproducibility across backends.
+        rbg_dropout = str(self.config.get("dropout_rng_impl",
+                                          "threefry")) == "rbg"
 
         def step(params, opt_state, batch, rng):
             if augmenter is not None:
                 rng, k_aug = jax.random.split(rng)
                 batch = augmenter.augment(batch, k_aug)
+            if rbg_dropout:
+                rng = jax.random.wrap_key_data(
+                    jax.random.bits(rng, (4,), jnp.uint32), impl="rbg")
 
             def loss_fn(p):
                 variables = {"params": p}

@@ -150,14 +150,21 @@ class MultiHeadAttention(nn.Module):
             ctx = attn_ops.causal_attention(q, k, v, attn_mask)
         else:
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(float(hd))
-            scores = scores + attn_mask  # additive -10000 mask
+            # cast the additive -10000 mask to the compute dtype: a f32 mask
+            # would upcast scores→softmax→dropout→probs@V back to f32 and
+            # double the HBM traffic of the dominant [B,H,L,L] tensors
+            # (measured: the attention core is memory-bound, not compute-bound)
+            scores = scores + attn_mask.astype(scores.dtype)
             probs = jax.nn.softmax(scores, axis=-1)
             probs = nn.Dropout(self.attn_dropout_prob, deterministic=not train)(probs)
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, H)
         out = dense("dense")(ctx)
         out = nn.Dropout(self.hidden_dropout_prob, deterministic=not train)(out)
-        return nn.LayerNorm(epsilon=self.layer_norm_eps, name="LayerNorm")(out + x)
+        # LN in the compute dtype too — an f32 LN forces an f32 round-trip
+        # around every residual block (params stay f32 via param_dtype)
+        return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                            name="LayerNorm")(out + x)
 
 
 class FeedForward(nn.Module):
@@ -181,7 +188,8 @@ class FeedForward(nn.Module):
                      bias_init=nn.initializers.zeros, dtype=self.dtype,
                      name="dense_2")(h)
         h = nn.Dropout(self.hidden_dropout_prob, deterministic=not train)(h)
-        return nn.LayerNorm(epsilon=self.layer_norm_eps, name="LayerNorm")(h + x)
+        return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                            name="LayerNorm")(h + x)
 
 
 class TransformerLayer(nn.Module):

@@ -48,7 +48,7 @@ class SASRec(SeqRecBase):
             use_fused=bool(c.get("use_fused_attention", 0)),
             dtype=self.compute_dtype)
         self.input_ln = nn.LayerNorm(epsilon=float(c.get("layer_norm_eps", 1e-12)),
-                                     name="LayerNorm")
+                                     dtype=self.compute_dtype, name="LayerNorm")
         self.input_dropout = nn.Dropout(float(c.get("hidden_dropout_prob", 0.5)))
 
     def encode_sequence(self, item_seq, item_seq_features=None, time_seq=None,

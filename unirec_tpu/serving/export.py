@@ -96,12 +96,16 @@ def export_model(model_file: str, out_dir: str, batch_size: int = 0,
         fname = f"{name}.stablehlo"
         with open(os.path.join(out_dir, fname), "wb") as f:
             f.write(blob)
-        # raw StableHLO MLIR alongside the jax.export blob: this is what a
+        # raw StableHLO alongside the jax.export blob: this is what a
         # non-Python PJRT consumer compiles directly (examples/serving_cpp/
-        # feeds it to PJRT_Client_Compile with format="mlir")
+        # feeds it to PJRT_Client_Compile with format="mlir"). Written as
+        # VERSIONED MLIR BYTECODE (mlir_module_serialized), not text — the
+        # bytecode carries StableHLO version info for cross-release
+        # compatibility; text from a newer jax can fail to parse in an
+        # older runtime's compiler.
         mlir_name = f"{name}.mlir"
-        with open(os.path.join(out_dir, mlir_name), "w") as f:
-            f.write(exported.mlir_module())
+        with open(os.path.join(out_dir, mlir_name), "wb") as f:
+            f.write(exported.mlir_module_serialized)
         manifest["functions"][name] = {
             "file": fname,
             "mlir": mlir_name,
@@ -122,6 +126,17 @@ def export_model(model_file: str, out_dir: str, batch_size: int = 0,
         want = fn(*args)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=atol, rtol=1e-4)
+    # serialized XLA CompileOptions for non-Python PJRT consumers: some
+    # PJRT plugins reject an empty options blob, so ship a valid default
+    # (1 replica / 1 partition) alongside the modules
+    try:
+        from jax._src import compiler as _compiler
+        copts = _compiler.get_compile_options(num_replicas=1, num_partitions=1)
+        with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
+            f.write(copts.SerializeAsString())
+        manifest["compile_options"] = "compile_options.pb"
+    except Exception:  # noqa: BLE001 — jax-internal API; export still valid
+        pass
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
