@@ -88,10 +88,11 @@ def build(**overrides):
         "n_sample_neg_train": N_NEG, "dataloader": "SeqRecDataset",
         "history_mask_mode": "autoregressive",
         # measured-best config (bench/bench_step_variants.py): bf16 dense
-        # towers (params stay f32) — 330 -> 289 ms/step; one-hot windowing
-        # gave a further -12.6 ms. Kernel/sorted-grad variants measured
-        # slower and stay off (docs/performance_notes.md).
-        "compute_dtype": "bfloat16", **overrides,
+        # towers + bf16 attention core (params stay f32) and hardware-RNG
+        # dropout — 330 -> 213 ms/step with one-hot windowing. Kernel /
+        # sorted-grad / remat / direct-layout variants measured slower or a
+        # wash and stay opt-in (docs/performance_notes.md).
+        "compute_dtype": "bfloat16", "dropout_rng_impl": "rbg", **overrides,
     }, argv=[])
     model = get_model_class("SASRec")(cfg=cfg)
     tx = build_optimizer(cfg)

@@ -32,6 +32,21 @@ VARIANTS = {
     # modules.py); +rbg swaps dropout onto the hardware rng_bit_generator
     "bf16+rbg": {"use_pallas": 0, "compute_dtype": "bfloat16",
                  "dropout_rng_impl": "rbg"},
+    # [B, L, H, d] einsum layout: dot_general carries the head axis, no
+    # pre-transpose copies
+    "bf16+rbg+direct": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                        "dropout_rng_impl": "rbg", "attn_direct_layout": 1},
+    # remat each transformer layer: recompute the [B,H,L,L] intermediates in
+    # backward (step is ~2% MFU, recompute is nearly free) instead of storing
+    # their autodiff residuals in HBM
+    "bf16+rbg+remat": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                       "dropout_rng_impl": "rbg", "remat_attention": 1},
+    # one random BYTE per mask element instead of a u32 word
+    "bf16+rbg+bits8": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                       "dropout_rng_impl": "rbg", "dropout_bits": 8},
+    "bf16+rbg+direct+remat": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                              "dropout_rng_impl": "rbg",
+                              "attn_direct_layout": 1, "remat_attention": 1},
 }
 
 

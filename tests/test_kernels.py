@@ -332,3 +332,165 @@ def test_rbg_dropout_key_trains():
         jax.random.bits(jax.random.PRNGKey(3), (4,), jnp.uint32), impl="rbg")
     loss, _ = model.apply(params, batch, train=True, rngs={"dropout": k})
     assert np.isfinite(float(loss))
+
+
+def test_direct_attention_layout_matches_default():
+    """attn_direct_layout=1 keeps q/k/v in [B, L, H, d]; contractions are
+    identical, so eval outputs must match the transpose formulation."""
+    from unirec_tpu import config as config_mod
+    from unirec_tpu.utils.registry import get_model_class
+
+    base = {
+        "model": "SASRec", "n_users": 50, "n_items": 80, "max_seq_len": 10,
+        "embedding_size": 16, "hidden_size": 16, "inner_size": 32,
+        "n_layers": 2, "n_heads": 2, "loss_type": "bce", "group_size": -1,
+        "dataloader": "SeqRecDataset", "n_sample_neg_train": 2,
+        "use_pallas": 0}
+    m0 = get_model_class("SASRec")(cfg=config_mod.parse_arguments(dict(base), argv=[]))
+    m1 = get_model_class("SASRec")(
+        cfg=config_mod.parse_arguments(dict(base, attn_direct_layout=1), argv=[]))
+    rng = np.random.default_rng(1)
+    batch = {
+        "user_id": jnp.asarray(rng.integers(1, 50, 8), jnp.int32),
+        "item_id": jnp.asarray(rng.integers(1, 80, (8, 3)), jnp.int32),
+        "label": jnp.asarray(
+            np.concatenate([np.ones((8, 1)), np.zeros((8, 2))], 1),
+            jnp.float32),
+        "item_seq": jnp.asarray(rng.integers(0, 80, (8, 10)), jnp.int32),
+        "item_seq_len": jnp.asarray(rng.integers(1, 10, 8), jnp.int32),
+    }
+    params = m0.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(1)}, batch, train=False)
+    l0, _ = m0.apply(params, batch, train=False)
+    l1, _ = m1.apply(params, batch, train=False)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+
+
+def test_remat_attention_matches_default():
+    """remat_attention=1 must be numerically identical (same ops, same RNG
+    replay) in loss AND gradients — it only changes what autodiff stores."""
+    from unirec_tpu import config as config_mod
+    from unirec_tpu.utils.registry import get_model_class
+
+    base = {
+        "model": "SASRec", "n_users": 50, "n_items": 80, "max_seq_len": 10,
+        "embedding_size": 16, "hidden_size": 16, "inner_size": 32,
+        "n_layers": 2, "n_heads": 2, "loss_type": "bce", "group_size": -1,
+        "dataloader": "SeqRecDataset", "n_sample_neg_train": 2,
+        "use_pallas": 0}
+    m0 = get_model_class("SASRec")(cfg=config_mod.parse_arguments(dict(base), argv=[]))
+    m1 = get_model_class("SASRec")(
+        cfg=config_mod.parse_arguments(dict(base, remat_attention=1), argv=[]))
+    rng = np.random.default_rng(2)
+    batch = {
+        "user_id": jnp.asarray(rng.integers(1, 50, 8), jnp.int32),
+        "item_id": jnp.asarray(rng.integers(1, 80, (8, 3)), jnp.int32),
+        "label": jnp.asarray(
+            np.concatenate([np.ones((8, 1)), np.zeros((8, 2))], 1),
+            jnp.float32),
+        "item_seq": jnp.asarray(rng.integers(0, 80, (8, 10)), jnp.int32),
+        "item_seq_len": jnp.asarray(rng.integers(1, 10, 8), jnp.int32),
+    }
+    params = m0.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(1)}, batch, train=False)
+
+    def loss_fn(model):
+        def f(p):
+            loss, _ = model.apply(p, batch, train=True,
+                                  rngs={"dropout": jax.random.PRNGKey(5)})
+            return loss
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_fn(m0))(params)
+    l1, g1 = jax.value_and_grad(loss_fn(m1))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_embedding_gather_emits_bf16():
+    """Regression: with compute_dtype=bfloat16 the item_seq embedding gather
+    must be cast at the gather site — an f32 [B*L, d] gather output (and the
+    f32 reshape/copy chain behind it) measured ~15 ms/step of avoidable HBM
+    traffic at bench shapes, and the backward scatter read f32 updates."""
+    model, params, batch = _tiny_sasrec("bfloat16")
+
+    # the gathered sequence embedding (and everything it is added to —
+    # position/time/features embeddings) must come out bf16 so the gather
+    # fusion writes bf16 and no downstream add re-promotes to f32
+    emb = model.apply(params, batch["item_seq"],
+                      method=lambda m, s: m.item_embedding_for_user(s))
+    assert emb.dtype == jnp.bfloat16
+
+    # and the f32 model keeps f32 (the cast must be a no-op there)
+    model32, params32, _ = _tiny_sasrec("float32")
+    emb32 = model32.apply(params32, batch["item_seq"],
+                          method=lambda m, s: m.item_embedding_for_user(s))
+    assert emb32.dtype == jnp.float32
+
+    # loss parity with the f32 path stays within bf16 tolerance
+    l16, _ = model.apply(params, batch, train=False)
+    l32, _ = model32.apply(params32, batch, train=False)
+    np.testing.assert_allclose(float(l16), float(l32), rtol=3e-2)
+
+
+def test_dropout8_statistics_and_scale():
+    """Dropout8 keeps with probability 1 - round(rate*256)/256 and rescales
+    by the realized probability, so the conditional kept-value scale is
+    exact and the keep fraction matches the quantized rate."""
+    from unirec_tpu.models.modules import Dropout8
+
+    x = jnp.ones((512, 257), jnp.float32)
+    d = Dropout8(0.1)
+    y = d.apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})
+    kept = np.asarray(y) != 0.0
+    thr = round(0.1 * 256)
+    keep_p = 1.0 - thr / 256.0
+    assert abs(kept.mean() - keep_p) < 0.01
+    np.testing.assert_allclose(np.asarray(y)[kept], 1.0 / keep_p, rtol=1e-6)
+    # deterministic=True and rate 0 are identity
+    assert (np.asarray(d.apply({}, x, True,
+                               rngs={"dropout": jax.random.PRNGKey(0)})) == 1.0).all()
+    z = Dropout8(0.0).apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})
+    assert (np.asarray(z) == 1.0).all()
+
+
+def test_dropout8_model_trains():
+    """dropout_bits=8 must leave the param tree unchanged and train."""
+    from unirec_tpu import config as config_mod
+    from unirec_tpu.utils.registry import get_model_class
+
+    base = {
+        "model": "SASRec", "n_users": 50, "n_items": 80, "max_seq_len": 10,
+        "embedding_size": 16, "hidden_size": 16, "inner_size": 32,
+        "n_layers": 1, "n_heads": 2, "loss_type": "bce", "group_size": -1,
+        "dataloader": "SeqRecDataset", "n_sample_neg_train": 2,
+        "hidden_dropout_prob": 0.2, "attn_dropout_prob": 0.2, "use_pallas": 0}
+    m0 = get_model_class("SASRec")(cfg=config_mod.parse_arguments(dict(base), argv=[]))
+    m8 = get_model_class("SASRec")(
+        cfg=config_mod.parse_arguments(dict(base, dropout_bits=8), argv=[]))
+    rng = np.random.default_rng(3)
+    batch = {
+        "user_id": jnp.asarray(rng.integers(1, 50, 8), jnp.int32),
+        "item_id": jnp.asarray(rng.integers(1, 80, (8, 3)), jnp.int32),
+        "label": jnp.asarray(
+            np.concatenate([np.ones((8, 1)), np.zeros((8, 2))], 1),
+            jnp.float32),
+        "item_seq": jnp.asarray(rng.integers(0, 80, (8, 10)), jnp.int32),
+        "item_seq_len": jnp.asarray(rng.integers(1, 10, 8), jnp.int32),
+    }
+    p0 = m0.init({"params": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(1)}, batch, train=False)
+    p8 = m8.init({"params": jax.random.PRNGKey(0),
+                  "dropout": jax.random.PRNGKey(1)}, batch, train=False)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p8)
+    loss, _ = m8.apply(p8, batch, train=True,
+                       rngs={"dropout": jax.random.PRNGKey(5)})
+    assert np.isfinite(float(loss))
+    # eval path identical (dropout off)
+    l0, _ = m0.apply(p0, batch, train=False)
+    l8, _ = m8.apply(p8, batch, train=False)
+    np.testing.assert_allclose(float(l0), float(l8), rtol=1e-6)

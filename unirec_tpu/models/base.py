@@ -84,6 +84,7 @@ class BaseRecommender(nn.Module):
         if c.get("has_user_emb"):
             self.user_embedding = nn.Embed(self.n_users, self.emb_dim,
                                            embedding_init=padded_emb_init,
+                                           dtype=self.compute_dtype,
                                            name="user_embedding")
         if self.use_item_emb:
             pre_item = c.get("_pre_item_emb")
@@ -92,8 +93,13 @@ class BaseRecommender(nn.Module):
                     pre_item, dtype=dtype).reshape(shape)
             else:
                 item_init = padded_emb_init
+            # dtype: flax converts the [N, d] TABLE before the take, so the
+            # gather reads/writes bf16 — casting after the gather measured
+            # zero effect (XLA kept the f32 gather and fused the convert
+            # into the LayerNorm that already did it)
             self.item_embedding = nn.Embed(self.n_items, self.emb_dim,
                                            embedding_init=item_init,
+                                           dtype=self.compute_dtype,
                                            name="item_embedding")
 
         if c.get("has_user_bias"):
@@ -127,11 +133,13 @@ class BaseRecommender(nn.Module):
                 else jnp.zeros((self.n_items, max(len(shape), 1)), jnp.int32))
             self.features_embedding = nn.Embed(int(sum(shape)) or 1, self.emb_dim,
                                                embedding_init=padded_emb_init,
+                                               dtype=self.compute_dtype,
                                                name="features_embedding")
 
         if int(c.get("time_seq", 0)):
             self.time_embedding = nn.Embed(int(c["time_seq"]), self.emb_dim,
                                            embedding_init=padded_emb_init,
+                                           dtype=self.compute_dtype,
                                            name="time_embedding")
 
         if c.get("distance_type", "dot") == DistanceType.MLP.value:
@@ -145,22 +153,35 @@ class BaseRecommender(nn.Module):
         pass
 
     # ------------------------------------------------------------- embeddings
+    def _cast(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Cast an embedding/activation to the compute dtype (no-op at f32).
+
+        The heavy lifting is done by ``dtype=`` on the nn.Embed tables
+        (convert the [N, d] table, then gather — so the [B·L, d] forward
+        write, the backward scatter's update read, and the scatter-add all
+        run in bf16; casting AFTER the gather measured zero effect because
+        XLA kept the f32 gather). This helper covers the remaining f32
+        producers (text-MLP output, position tables in models that predate
+        the dtype plumbing) so adds don't re-promote the sequence to f32."""
+        return x if self.compute_dtype is None else x.astype(self.compute_dtype)
+
     def _masked_gather(self, emb: nn.Embed, ids: jnp.ndarray) -> jnp.ndarray:
         if self.cfg.get("sorted_embedding_grad"):
             # sort-based backward scatter (ops/embedding.py) — the plain
             # gather's unsorted scatter-add grad is ~10x over its roofline
             # at bench shapes
             from unirec_tpu.ops.embedding import gather
-            return gather(emb.embedding, ids) * (ids != 0)[..., None]
-        return emb(ids) * (ids != 0)[..., None]
+            return self._cast(gather(emb.embedding, ids) * (ids != 0)[..., None])
+        return self._cast(emb(ids) * (ids != 0)[..., None])
 
     def _text_emb(self, items: jnp.ndarray) -> jnp.ndarray:
         table = self.text_embedding.value
         t = jax.lax.stop_gradient(table[items]) * (items != 0)[..., None]
-        return self.text_dense2(jax.nn.gelu(self.text_dense1(t), approximate=False))
+        return self._cast(
+            self.text_dense2(jax.nn.gelu(self.text_dense1(t), approximate=False)))
 
     def _features_emb(self, feats: jnp.ndarray) -> jnp.ndarray:
-        return self.features_embedding(feats).sum(-2)
+        return self._cast(self.features_embedding(feats)).sum(-2)
 
     def forward_item_emb(self, items, item_features=None):
         e = self._masked_gather(self.item_embedding, items)

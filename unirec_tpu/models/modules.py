@@ -51,6 +51,39 @@ def zero_pad_row(table: jnp.ndarray) -> jnp.ndarray:
     return table.at[0].set(0.0)
 
 
+class Dropout8(nn.Module):
+    """Dropout whose mask comes from ONE random byte per element instead of
+    a u32 word: the rng materializes 4x less HBM (the [B, H, L, L]
+    attention-dropout u32 tensor + its layout copy measured ~13 ms/step at
+    bench shapes). The keep threshold is quantized to 1/256 — the realized
+    keep probability ceil/round(rate*256)/256 is used for the rescale, so
+    E[output] == input exactly. Opt-in via ``dropout_bits=8`` (the default
+    flax Dropout keeps the reference-default behavior)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        thr = int(round(self.rate * 256.0))
+        if deterministic or thr <= 0:
+            return x
+        if thr >= 256:
+            return jnp.zeros_like(x)
+        keep_p = 1.0 - thr / 256.0
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
+        return jnp.where(bits >= jnp.uint8(thr), x * (1.0 / keep_p),
+                         jnp.zeros_like(x))
+
+
+def apply_dropout(x, rate: float, train: bool, bits8: bool = False):
+    """Inline dropout used inside @nn.compact bodies; ``bits8`` selects the
+    byte-mask variant (no params either way, same 'dropout' rng stream, so
+    the param tree is independent of the choice)."""
+    if bits8:
+        return Dropout8(rate)(x, deterministic=not train)
+    return nn.Dropout(rate, deterministic=not train)(x)
+
+
 # --------------------------------------------------------------------- scorers
 def inner_product_scores(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Dim-dispatching dot scorer (modules.py:45-67).
@@ -119,6 +152,12 @@ class MultiHeadAttention(nn.Module):
     use_flash: bool = False
     use_fused: bool = False  # opt-in fused short-seq kernel (see dispatch)
     dtype: Any = None  # computation dtype (params stay fp32)
+    # keep q/k/v in [B, L, H, d] and let dot_general carry the head axis —
+    # skips the 6 head-split layout copies per layer the [B, H, L, d]
+    # formulation costs. Numerics identical (same contractions); opt-in
+    # pending TPU A/B measurement (bench/bench_step_variants.py).
+    direct_layout: bool = False
+    bits8: bool = False  # byte-mask dropout (see Dropout8)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -128,6 +167,21 @@ class MultiHeadAttention(nn.Module):
         dense = lambda name: nn.Dense(H, kernel_init=self.kernel_init,
                                       bias_init=nn.initializers.zeros,
                                       dtype=self.dtype, name=name)
+        if self.direct_layout and not self.use_fused and not self.use_flash:
+            q4 = dense("query")(x).reshape(B, L, nh, hd)
+            k4 = dense("key")(x).reshape(B, L, nh, hd)
+            v4 = dense("value")(x).reshape(B, L, nh, hd)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q4, k4) / jnp.sqrt(float(hd))
+            scores = scores + attn_mask.astype(scores.dtype)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = apply_dropout(probs, self.attn_dropout_prob, train,
+                                  self.bits8)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v4).reshape(B, L, H)
+            out = dense("dense")(ctx)
+            out = apply_dropout(out, self.hidden_dropout_prob, train,
+                                self.bits8)
+            return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                                name="LayerNorm")(out + x)
         q = dense("query")(x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
         k = dense("key")(x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
         v = dense("value")(x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
@@ -156,11 +210,12 @@ class MultiHeadAttention(nn.Module):
             # (measured: the attention core is memory-bound, not compute-bound)
             scores = scores + attn_mask.astype(scores.dtype)
             probs = jax.nn.softmax(scores, axis=-1)
-            probs = nn.Dropout(self.attn_dropout_prob, deterministic=not train)(probs)
+            probs = apply_dropout(probs, self.attn_dropout_prob, train,
+                                  self.bits8)
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, H)
         out = dense("dense")(ctx)
-        out = nn.Dropout(self.hidden_dropout_prob, deterministic=not train)(out)
+        out = apply_dropout(out, self.hidden_dropout_prob, train, self.bits8)
         # LN in the compute dtype too — an f32 LN forces an f32 round-trip
         # around every residual block (params stay f32 via param_dtype)
         return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
@@ -177,6 +232,7 @@ class FeedForward(nn.Module):
     layer_norm_eps: float
     kernel_init: Callable = nn.initializers.normal(0.02)
     dtype: Any = None
+    bits8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -187,7 +243,7 @@ class FeedForward(nn.Module):
         h = nn.Dense(self.hidden_size, kernel_init=self.kernel_init,
                      bias_init=nn.initializers.zeros, dtype=self.dtype,
                      name="dense_2")(h)
-        h = nn.Dropout(self.hidden_dropout_prob, deterministic=not train)(h)
+        h = apply_dropout(h, self.hidden_dropout_prob, train, self.bits8)
         return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                             name="LayerNorm")(h + x)
 
@@ -204,6 +260,8 @@ class TransformerLayer(nn.Module):
     use_flash: bool = False
     use_fused: bool = False
     dtype: Any = None
+    direct_layout: bool = False
+    bits8: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
@@ -211,10 +269,12 @@ class TransformerLayer(nn.Module):
                                self.hidden_dropout_prob, self.attn_dropout_prob,
                                self.layer_norm_eps, self.kernel_init,
                                self.use_flash, self.use_fused, self.dtype,
+                               self.direct_layout, self.bits8,
                                name="multi_head_attention")(x, attn_mask, train)
         return FeedForward(self.hidden_size, self.inner_size,
                            self.hidden_dropout_prob, self.hidden_act,
                            self.layer_norm_eps, self.kernel_init, self.dtype,
+                           self.bits8,
                            name="feed_forward")(x, train)
 
 
@@ -231,16 +291,29 @@ class TransformerEncoder(nn.Module):
     use_flash: bool = False
     use_fused: bool = False
     dtype: Any = None
+    direct_layout: bool = False
+    # rematerialize each layer in backward: the step is HBM-bound at ~2% MFU
+    # (docs/performance_notes.md), so recomputing the [B, H, L, L]
+    # softmax/dropout intermediates is nearly free in FLOPs and removes their
+    # autodiff residual traffic. Opt-in pending TPU A/B
+    # (bench/bench_step_variants.py).
+    remat: bool = False
+    bits8: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
+        layer_cls = TransformerLayer
+        if self.remat:
+            # train is a static bool (it selects the dropout branch)
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(3,))
         for i in range(self.n_layers):
-            x = TransformerLayer(self.n_heads, self.hidden_size, self.inner_size,
-                                 self.hidden_dropout_prob, self.attn_dropout_prob,
-                                 self.hidden_act, self.layer_norm_eps,
-                                 self.kernel_init, self.use_flash,
-                                 self.use_fused, self.dtype,
-                                 name=f"layer_{i}")(x, attn_mask, train)
+            x = layer_cls(self.n_heads, self.hidden_size, self.inner_size,
+                          self.hidden_dropout_prob, self.attn_dropout_prob,
+                          self.hidden_act, self.layer_norm_eps,
+                          self.kernel_init, self.use_flash,
+                          self.use_fused, self.dtype, self.direct_layout,
+                          self.bits8,
+                          name=f"layer_{i}")(x, attn_mask, train)
         return x
 
 

@@ -142,6 +142,7 @@ class BST(RankerBase):
         L_ = int(c["max_seq_len"])
         self.position_embedding = nn.Embed(L_ + 1, self.hidden_size,
                                            embedding_init=init,
+                                           dtype=self.compute_dtype,
                                            name="position_embedding")
         self.trm_encoder = modules.TransformerEncoder(
             n_layers=int(c.get("n_layers", 2)),
@@ -155,7 +156,10 @@ class BST(RankerBase):
             kernel_init=init,
             use_flash=bool(c.get("use_pallas", True)),
             use_fused=bool(c.get("use_fused_attention", 0)),
-            dtype=self.compute_dtype)
+            dtype=self.compute_dtype,
+            direct_layout=bool(c.get("attn_direct_layout", 0)),
+            remat=bool(c.get("remat_attention", 0)),
+            bits8=int(c.get("dropout_bits", 32)) == 8)
         self.input_ln = nn.LayerNorm(epsilon=float(c.get("layer_norm_eps", 1e-10)),
                                      name="LayerNorm")
         self.input_dropout = nn.Dropout(float(c.get("hidden_dropout_prob", 0.5)))
@@ -194,7 +198,7 @@ class BST(RankerBase):
         new_seq = jnp.concatenate([item_seq, item_id[:, None]], axis=1)
 
         pos_ids = jnp.arange(new_seq.shape[1], dtype=jnp.int32)
-        x = x + self.position_embedding(pos_ids)[None]
+        x = x + self._cast(self.position_embedding(pos_ids))[None]
         x = self.input_ln(x)
         x = self.input_dropout(x, deterministic=not train)
 
@@ -246,6 +250,7 @@ class AdaRanker(RankerBase):
                 self.position_embedding = nn.Embed(int(c["max_seq_len"]),
                                                    self.hidden_size,
                                                    embedding_init=init,
+                                                   dtype=self.compute_dtype,
                                                    name="position_embedding")
             self.trm_encoder = modules.TransformerEncoder(
                 n_layers=int(c.get("n_layers", 2)),
@@ -259,7 +264,10 @@ class AdaRanker(RankerBase):
                 kernel_init=init,
                 use_flash=bool(c.get("use_pallas", True)),
                 use_fused=bool(c.get("use_fused_attention", 0)),
-                dtype=self.compute_dtype)
+                dtype=self.compute_dtype,
+                direct_layout=bool(c.get("attn_direct_layout", 0)),
+                remat=bool(c.get("remat_attention", 0)),
+                bits8=int(c.get("dropout_bits", 32)) == 8)
             self.input_ln = nn.LayerNorm(
                 epsilon=float(c.get("layer_norm_eps", 1e-12)), name="LayerNorm")
             self.input_dropout = nn.Dropout(float(c.get("hidden_dropout_prob", 0.5)))
@@ -308,7 +316,7 @@ class AdaRanker(RankerBase):
         x = seq_emb
         if self.use_pos_emb:
             pos_ids = jnp.arange(item_seq.shape[1], dtype=jnp.int32)
-            x = x + self.position_embedding(pos_ids)[None]
+            x = x + self._cast(self.position_embedding(pos_ids))[None]
         x = self.input_ln(x)
         x = self.input_dropout(x, deterministic=not train)
         # causal triangle only with position embeddings (adaranker.py:104-121)

@@ -33,6 +33,7 @@ class SASRec(SeqRecBase):
             self.position_embedding = nn.Embed(int(c["max_seq_len"]) + 1,
                                                self.hidden_size,
                                                embedding_init=init,
+                                               dtype=self.compute_dtype,
                                                name="position_embedding")
         self.trm_encoder = modules.TransformerEncoder(
             n_layers=int(c.get("n_layers", 2)),
@@ -46,17 +47,23 @@ class SASRec(SeqRecBase):
             kernel_init=init,
             use_flash=bool(c.get("use_pallas", True)),
             use_fused=bool(c.get("use_fused_attention", 0)),
-            dtype=self.compute_dtype)
+            dtype=self.compute_dtype,
+            direct_layout=bool(c.get("attn_direct_layout", 0)),
+            remat=bool(c.get("remat_attention", 0)),
+            bits8=int(c.get("dropout_bits", 32)) == 8)
         self.input_ln = nn.LayerNorm(epsilon=float(c.get("layer_norm_eps", 1e-12)),
                                      dtype=self.compute_dtype, name="LayerNorm")
-        self.input_dropout = nn.Dropout(float(c.get("hidden_dropout_prob", 0.5)))
+        drop_cls = modules.Dropout8 if int(c.get("dropout_bits", 32)) == 8 \
+            else nn.Dropout
+        self.input_dropout = drop_cls(float(c.get("hidden_dropout_prob", 0.5)))
 
     def encode_sequence(self, item_seq, item_seq_features=None, time_seq=None,
                         train: bool = False):
         x = self.item_embedding_for_user(item_seq, item_seq_features, time_seq)
         if self.use_pos_emb:
             pos_ids = jnp.arange(item_seq.shape[1], dtype=jnp.int32)
-            x = x + self.position_embedding(pos_ids)[None]
+            # cast so the add doesn't re-promote the bf16 sequence to f32
+            x = x + self._cast(self.position_embedding(pos_ids))[None]
         x = self.input_ln(x)
         x = self.input_dropout(x, deterministic=not train)
         mask = modules.causal_attention_mask(item_seq, bidirectional=not self.use_pos_emb)
@@ -101,6 +108,7 @@ class AvgHist(SeqRecBase):
             self.item_dst_embedding = nn.Embed(
                 self.n_items, self.emb_dim,
                 embedding_init=lambda k, s, d=jnp.float32: modules.zero_pad_row(init(k, s, d)),
+                dtype=self.compute_dtype,
                 name="item_dst_embedding")
         self.alpha = float(self.cfg.get("user_sequence_alpha", 0.5))
 
@@ -149,6 +157,7 @@ class SVDPlusPlus(SeqRecBase):
         self.item_dst_embedding = nn.Embed(
             self.n_items, self.emb_dim,
             embedding_init=lambda k, s, d=jnp.float32: modules.zero_pad_row(init(k, s, d)),
+            dtype=self.compute_dtype,
             name="item_dst_embedding")
         self.alpha = float(self.cfg.get("user_sequence_alpha", 0.5))
 
@@ -247,6 +256,7 @@ class _ConvFormerBase(SeqRecBase):
         init = self._init_fn()
         self.position_embedding = nn.Embed(int(c["max_seq_len"]), self.hidden_size,
                                            embedding_init=init,
+                                           dtype=self.compute_dtype,
                                            name="position_embedding")
         eps = float(c.get("layer_norm_eps", 1e-9))
         n_layers = int(c.get("n_layers", 2))
@@ -278,7 +288,7 @@ class _ConvFormerBase(SeqRecBase):
         c = self.cfg
         x = self.item_embedding_for_user(item_seq, item_seq_features, time_seq)
         pos_ids = jnp.arange(item_seq.shape[1], dtype=jnp.int32)
-        x = x + self.position_embedding(pos_ids)[None]
+        x = x + self._cast(self.position_embedding(pos_ids))[None]
         x = self.input_ln(x)
         x = self.input_dropout(x, deterministic=not train)
         for mixer, ffn in zip(self.mixers, self.ffns):
