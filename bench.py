@@ -88,11 +88,13 @@ def build(**overrides):
         "n_sample_neg_train": N_NEG, "dataloader": "SeqRecDataset",
         "history_mask_mode": "autoregressive",
         # measured-best config (bench/bench_step_variants.py): bf16 dense
-        # towers + bf16 attention core (params stay f32) and hardware-RNG
-        # dropout — 330 -> 213 ms/step with one-hot windowing. Kernel /
+        # towers + bf16 attention core + bf16 embedding tables (params stay
+        # f32), hardware-RNG dropout, one random byte per dropout-mask
+        # element — 330 -> 186 ms/step with one-hot windowing. Kernel /
         # sorted-grad / remat / direct-layout variants measured slower or a
         # wash and stay opt-in (docs/performance_notes.md).
-        "compute_dtype": "bfloat16", "dropout_rng_impl": "rbg", **overrides,
+        "compute_dtype": "bfloat16", "dropout_rng_impl": "rbg",
+        "dropout_bits": 8, **overrides,
     }, argv=[])
     model = get_model_class("SASRec")(cfg=cfg)
     tx = build_optimizer(cfg)

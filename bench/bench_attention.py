@@ -47,21 +47,27 @@ def main():
     ap.add_argument("--heads", type=int, default=2)
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--drop", type=float, default=0.1)
+    ap.add_argument("--dtype", default="float32",
+                    help="q/k/v dtype; bfloat16 matches the model's "
+                         "compute_dtype path (kernel matmuls follow it)")
     args = ap.parse_args()
     B, H, L, D = args.batch, args.heads, args.seq, args.dim
+    dtype = jnp.dtype(args.dtype)
 
     # generate inputs ON DEVICE — uploading ~400 MB host arrays exceeds the
     # axon tunnel's ~100 MB request-body limit (HTTP 413)
     @jax.jit
     def make_inputs(key):
         kq, kk, kv, kl = jax.random.split(key, 4)
-        q = jax.random.normal(kq, (B, H, L, D), jnp.float32)
-        k = jax.random.normal(kk, (B, H, L, D), jnp.float32)
-        v = jax.random.normal(kv, (B, H, L, D), jnp.float32)
+        q = jax.random.normal(kq, (B, H, L, D), jnp.float32).astype(dtype)
+        k = jax.random.normal(kk, (B, H, L, D), jnp.float32).astype(dtype)
+        v = jax.random.normal(kv, (B, H, L, D), jnp.float32).astype(dtype)
         lens = jax.random.randint(kl, (B,), 1, L + 1)
         pad = (jnp.arange(L)[None, :] >= (L - lens[:, None])).astype(jnp.float32)
         causal = jnp.tril(jnp.ones((L, L), jnp.float32))[None, None]
-        mask = (1.0 - pad[:, None, None, :] * causal) * A.MASK_VALUE
+        # the model path casts the mask to the compute dtype (modules.py)
+        mask = ((1.0 - pad[:, None, None, :] * causal)
+                * A.MASK_VALUE).astype(dtype)
         return q, k, v, mask
 
     q, k, v, mask = make_inputs(jax.random.PRNGKey(0))
@@ -72,9 +78,14 @@ def main():
     # closure arrays into the program and the axon compile RPC rejects
     # >~100 MB request bodies (HTTP 413)
     def xla_train(q, k, v, mask):
+        # byte-mask dropout, matching the model's measured-best config
+        # (dropout_bits=8, models/modules.py::Dropout8)
         p = A.xla_attention_probs(q, k, mask)
-        keep = jax.random.bernoulli(key, 1.0 - args.drop, p.shape)
-        p = jnp.where(keep, p / (1.0 - args.drop), 0.0)
+        thr = int(round(args.drop * 256.0))
+        keep_p = 1.0 - thr / 256.0
+        bits = jax.random.bits(key, p.shape, jnp.uint8)
+        p = jnp.where(bits >= jnp.uint8(thr), p * (1.0 / keep_p),
+                      jnp.zeros_like(p))
         return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
     def fused_train(q, k, v, mask):
@@ -90,8 +101,9 @@ def main():
 
     # HBM-roofline floor: fwd reads q,k,v + writes o; bwd reads q,k,v,do +
     # writes dq,dk,dv (mask excluded — it's [B,1,L,L] and real)
-    bytes_fwd = 4 * B * H * L * D * 4 + B * L * L * 4
-    bytes_bwd = bytes_fwd + 3 * B * H * L * D * 4 + B * L * L * 4
+    isz = dtype.itemsize
+    bytes_fwd = 4 * B * H * L * D * isz + B * L * L * isz
+    bytes_bwd = bytes_fwd + 3 * B * H * L * D * isz + B * L * L * isz
 
     for name, fn, nbytes in [
         ("xla_fwd", jax.jit(xla_train), bytes_fwd),

@@ -46,9 +46,12 @@ def main():
 
     from unirec_tpu.ops.linalg import blocked_cholesky, blocked_tri_inv_lower
 
-    # phase 1: factorization+inverse, compile vs steady-state separated
-    chol = jax.jit(blocked_cholesky, static_argnums=1)
-    triinv = jax.jit(blocked_tri_inv_lower, static_argnums=1)
+    # phase 1: factorization+inverse, compile vs steady-state separated.
+    # Everything is DONATED down the chain (G→L→X): at N=50k each [N, N]
+    # is 10 GB, so only one may be alive at a time on a 16 GB chip.
+    chol = jax.jit(blocked_cholesky, static_argnums=1, donate_argnums=0)
+    triinv = jax.jit(blocked_tri_inv_lower, static_argnums=1,
+                     donate_argnums=0)
     t0 = time.perf_counter()
     L = chol(G, nb)
     L.block_until_ready()
@@ -58,12 +61,16 @@ def main():
     X.block_until_ready()
     t_tri_cold = time.perf_counter() - t0
 
-    # steady state (compile cache hot): rerun on the same operands
+    # steady state (compile cache hot): regenerate G (the cold pass
+    # consumed it) and rerun
+    del X
+    G = make_gram(jax.random.PRNGKey(0))
+    G.block_until_ready()
     t0 = time.perf_counter()
-    X2 = triinv(chol(G, nb), nb)
+    X = triinv(chol(G, nb), nb)
     # block_until_ready on this backend has been observed not to wait
     # (see docs/performance_notes.md) — force a real round-trip
-    float(jax.device_get(X2[0, 0]))
+    float(jax.device_get(X[0, 0]))
     t_factor_warm = time.perf_counter() - t0
 
     # phase 2a: device-only column sweep (checksum reduce, no host transfer)
@@ -79,12 +86,17 @@ def main():
     t_cols_device = time.perf_counter() - t0
 
     # phase 2b: full streamed inverse incl. host transfer (tunnel-bound in
-    # this dev environment: ~N*N*4 bytes over the relay)
-    t0 = time.perf_counter()
-    out_cols = 0
-    for c, slab in spd_inverse_columns(G, nb):
-        out_cols += slab.shape[1]
-    t_streamed = time.perf_counter() - t0
+    # this dev environment: ~N*N*4 bytes over the relay — ~7 min at N=50k,
+    # so it is skipped above 20k unless a 3rd arg 'stream' forces it)
+    t_streamed = out_cols = None
+    if N <= 20_000 or (len(sys.argv) > 3 and sys.argv[3] == "stream"):
+        del X  # spd_inverse_columns builds its own [N, N] chain
+        G = make_gram(jax.random.PRNGKey(0))
+        t0 = time.perf_counter()
+        out_cols = 0
+        for c, slab in spd_inverse_columns(G, nb):
+            out_cols += slab.shape[1]
+        t_streamed = round(time.perf_counter() - t0, 2)
 
     print(json.dumps({
         "metric": "ease_blocked_inverse", "n_items": N, "block": nb,
@@ -93,7 +105,7 @@ def main():
         "triinv_cold_s": round(t_tri_cold, 2),
         "factor_warm_s": round(t_factor_warm, 2),
         "column_sweep_device_s": round(t_cols_device, 2),
-        "streamed_total_s": round(t_streamed, 2),
+        "streamed_total_s": t_streamed,
         "cols": out_cols, "checksum": round(acc, 2),
     }))
 

@@ -44,6 +44,18 @@ VARIANTS = {
     # one random BYTE per mask element instead of a u32 word
     "bf16+rbg+bits8": {"use_pallas": 0, "compute_dtype": "bfloat16",
                        "dropout_rng_impl": "rbg", "dropout_bits": 8},
+    "bf16+rbg+bits8+direct": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                              "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                              "attn_direct_layout": 1},
+    # packed QKV projection: one [H, 3H] matmul per layer instead of three
+    "bf16+rbg+bits8+qkvpack": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                               "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                               "qkv_packed": 1},
+    # round-2c kernel redo: fused attention with bf16 matmuls (f32 softmax),
+    # against the measured-best XLA path (non-attention dropouts stay bits8)
+    "bf16+rbg+bits8+fused": {"use_fused_attention": 1,
+                             "compute_dtype": "bfloat16",
+                             "dropout_rng_impl": "rbg", "dropout_bits": 8},
     "bf16+rbg+direct+remat": {"use_pallas": 0, "compute_dtype": "bfloat16",
                               "dropout_rng_impl": "rbg",
                               "attn_direct_layout": 1, "remat_attention": 1},

@@ -494,3 +494,62 @@ def test_dropout8_model_trains():
     l0, _ = m0.apply(p0, batch, train=False)
     l8, _ = m8.apply(p8, batch, train=False)
     np.testing.assert_allclose(float(l0), float(l8), rtol=1e-6)
+
+
+def test_fused_attention_bf16_inputs_match_f32():
+    """bf16 q/k/v run the kernel's bf16-matmul path (f32 accumulate + f32
+    softmax); outputs and grads must track the f32 XLA reference within
+    bf16 rounding."""
+    q, k, v, mask = _inputs(B=4, L=50)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    maskb = mask.astype(jnp.bfloat16)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    ref = A.xla_attention(q, k, v, mask)
+    out = A.fused_attention(qb, kb, vb, maskb, 0.0, seed)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=0.03, rtol=0.03)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(A.fused_attention(q, k, v, maskb, 0.0, seed)
+                       .astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(A.xla_attention(q, k, v, mask) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(qb, kb, vb)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, n in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b),
+                                   atol=0.15, rtol=0.1, err_msg=f"d{n}")
+
+
+def test_qkv_packed_matches_unpacked():
+    """qkv_packed=1 computes identical outputs to the three separate
+    projections once the packed kernel is the concatenation of the three
+    unpacked kernels (same contractions, one matmul)."""
+    from unirec_tpu.models.modules import MultiHeadAttention, causal_attention_mask
+
+    B, L, H = 4, 10, 16
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, L, H)), jnp.float32)
+    seq = jnp.asarray(rng.integers(1, 50, (B, L)), jnp.int32)
+    mask = causal_attention_mask(seq)
+
+    unpacked = MultiHeadAttention(2, H, 0.0, 0.0, 1e-12)
+    packed = MultiHeadAttention(2, H, 0.0, 0.0, 1e-12, qkv_packed=True)
+    pu = unpacked.init({"params": jax.random.PRNGKey(0)}, x, mask, False)
+    pp = jax.tree_util.tree_map(lambda a: np.array(a),
+                                packed.init({"params": jax.random.PRNGKey(0)},
+                                            x, mask, False))
+    u = pu["params"]
+    pp["params"]["qkv"]["kernel"] = np.concatenate(
+        [np.asarray(u[n]["kernel"]) for n in ("query", "key", "value")], axis=1)
+    pp["params"]["qkv"]["bias"] = np.concatenate(
+        [np.asarray(u[n]["bias"]) for n in ("query", "key", "value")])
+
+    yu = unpacked.apply(pu, x, mask, False)
+    yp = packed.apply(pp, x, mask, False)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yu),
+                               atol=1e-5, rtol=1e-5)

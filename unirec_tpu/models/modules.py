@@ -158,6 +158,12 @@ class MultiHeadAttention(nn.Module):
     # pending TPU A/B measurement (bench/bench_step_variants.py).
     direct_layout: bool = False
     bits8: bool = False  # byte-mask dropout (see Dropout8)
+    # compute Q, K, V as ONE [H, 3H] matmul and split — 1/3 the op
+    # boundaries (candidate fix for the measured per-layer head-split
+    # layout copies). Param structure changes ('qkv' kernel instead of
+    # query/key/value), so opt-in; numerics identical to the unpacked form
+    # with concatenated kernels (tests/test_kernels.py).
+    qkv_packed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -167,10 +173,19 @@ class MultiHeadAttention(nn.Module):
         dense = lambda name: nn.Dense(H, kernel_init=self.kernel_init,
                                       bias_init=nn.initializers.zeros,
                                       dtype=self.dtype, name=name)
+        if self.qkv_packed:
+            qkv = nn.Dense(3 * H, kernel_init=self.kernel_init,
+                           bias_init=nn.initializers.zeros,
+                           dtype=self.dtype, name="qkv")(x)
+            qp, kp, vp = jnp.split(qkv, 3, axis=-1)
+            project = {"query": lambda _: qp, "key": lambda _: kp,
+                       "value": lambda _: vp}
+        else:
+            project = {n: dense(n) for n in ("query", "key", "value")}
         if self.direct_layout and not self.use_fused and not self.use_flash:
-            q4 = dense("query")(x).reshape(B, L, nh, hd)
-            k4 = dense("key")(x).reshape(B, L, nh, hd)
-            v4 = dense("value")(x).reshape(B, L, nh, hd)
+            q4 = project["query"](x).reshape(B, L, nh, hd)
+            k4 = project["key"](x).reshape(B, L, nh, hd)
+            v4 = project["value"](x).reshape(B, L, nh, hd)
             scores = jnp.einsum("bqhd,bkhd->bhqk", q4, k4) / jnp.sqrt(float(hd))
             scores = scores + attn_mask.astype(scores.dtype)
             probs = jax.nn.softmax(scores, axis=-1)
@@ -182,9 +197,9 @@ class MultiHeadAttention(nn.Module):
                                 self.bits8)
             return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                                 name="LayerNorm")(out + x)
-        q = dense("query")(x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-        k = dense("key")(x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-        v = dense("value")(x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        q = project["query"](x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        k = project["key"](x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        v = project["value"](x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
 
         from unirec_tpu.ops import attention as attn_ops
         drop_on = train and self.attn_dropout_prob > 0.0
@@ -262,6 +277,7 @@ class TransformerLayer(nn.Module):
     dtype: Any = None
     direct_layout: bool = False
     bits8: bool = False
+    qkv_packed: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
@@ -270,6 +286,7 @@ class TransformerLayer(nn.Module):
                                self.layer_norm_eps, self.kernel_init,
                                self.use_flash, self.use_fused, self.dtype,
                                self.direct_layout, self.bits8,
+                               self.qkv_packed,
                                name="multi_head_attention")(x, attn_mask, train)
         return FeedForward(self.hidden_size, self.inner_size,
                            self.hidden_dropout_prob, self.hidden_act,
@@ -299,6 +316,7 @@ class TransformerEncoder(nn.Module):
     # (bench/bench_step_variants.py).
     remat: bool = False
     bits8: bool = False
+    qkv_packed: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
@@ -312,7 +330,7 @@ class TransformerEncoder(nn.Module):
                           self.hidden_act, self.layer_norm_eps,
                           self.kernel_init, self.use_flash,
                           self.use_fused, self.dtype, self.direct_layout,
-                          self.bits8,
+                          self.bits8, self.qkv_packed,
                           name=f"layer_{i}")(x, attn_mask, train)
         return x
 

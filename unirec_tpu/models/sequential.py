@@ -50,7 +50,8 @@ class SASRec(SeqRecBase):
             dtype=self.compute_dtype,
             direct_layout=bool(c.get("attn_direct_layout", 0)),
             remat=bool(c.get("remat_attention", 0)),
-            bits8=int(c.get("dropout_bits", 32)) == 8)
+            bits8=int(c.get("dropout_bits", 32)) == 8,
+            qkv_packed=bool(c.get("qkv_packed", 0)))
         self.input_ln = nn.LayerNorm(epsilon=float(c.get("layer_norm_eps", 1e-12)),
                                      dtype=self.compute_dtype, name="LayerNorm")
         drop_cls = modules.Dropout8 if int(c.get("dropout_bits", 32)) == 8 \

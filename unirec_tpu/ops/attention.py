@@ -16,6 +16,7 @@ for interpret-mode testing).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -194,9 +195,10 @@ def _program_seed(seed_ref):
     return seed_ref[0] + pl.program_id(0) * 7919 + pl.program_id(1)
 
 
-def _dropped_probs(S, m_ref, p_drop, mb, Lp):
+def _dropped_probs(S, m_ref, p_drop, mb, Lp, scale, out_dtype):
     """Per-row-block masked softmax (+ optional in-kernel dropout) of the
-    batched score matrix S [mb*Lp, mb*Lp]; off-block entries come back 0.
+    batched score matrix S [mb*Lp, mb*Lp] (f32, unscaled); off-block entries
+    come back 0 and the result is cast to ``out_dtype`` for the @V matmul.
 
     S packs mb independent rows' scores; only the diagonal [Lp, Lp] blocks
     are meaningful. Doing QKᵀ as ONE [mb*Lp, D]x[D, mb*Lp] matmul wastes
@@ -208,14 +210,14 @@ def _dropped_probs(S, m_ref, p_drop, mb, Lp):
     blocks = []
     for i in range(mb):
         sl = slice(i * Lp, (i + 1) * Lp)
-        s = S[sl, sl] + m_ref[i].astype(jnp.float32)
+        s = S[sl, sl] * scale + m_ref[i].astype(jnp.float32)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         if p_drop > 0.0:
             keep = _keep_mask(p.shape, p_drop)
             p = jnp.where(keep, p * (1.0 / (1.0 - p_drop)), 0.0)
-        blocks.append(p)
+        blocks.append(p.astype(out_dtype))
     return _block_diag(blocks, Lp, mb)
 
 
@@ -243,11 +245,20 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, o_ref,
     if p_drop > 0.0:
         pltpu.prng_seed(_program_seed(seed_ref))
     Lp, D = q_ref.shape[1], q_ref.shape[2]
-    Q = q_ref[...].reshape(mb * Lp, D).astype(jnp.float32) * scale
-    K = k_ref[...].reshape(mb * Lp, D).astype(jnp.float32)
-    V = v_ref[...].reshape(mb * Lp, D).astype(jnp.float32)
+    # matmuls stay in the INPUT dtype (bf16 under compute_dtype=bfloat16 —
+    # the MXU's f32 rate is ~4x slower) with f32 accumulation; the scale is
+    # applied to the f32 scores, which is also the more precise order.
+    # Measured (bench/bench_attention.py --dtype bfloat16): this closed the
+    # forward micro gap to near-parity (35.9 vs XLA 33.7 ms) but the bwd
+    # kernel still loses (72.8 vs 52.1) — the (B/mb) x H grid issues 8192
+    # programs of ~28 KB DMAs and is overhead-bound. Kernel stays opt-in;
+    # the remaining idea is coarser blocking (UNIREC_FUSED_MB) and fusing
+    # across the whole layer rather than a better attention-only kernel.
+    Q = q_ref[...].reshape(mb * Lp, D)
+    K = k_ref[...].reshape(mb * Lp, D)
+    V = v_ref[...].reshape(mb * Lp, D)
     S = jnp.dot(Q, K.T, preferred_element_type=jnp.float32)
-    P = _dropped_probs(S, m_ref, p_drop, mb, Lp)
+    P = _dropped_probs(S, m_ref, p_drop, mb, Lp, scale, Q.dtype)
     O = jnp.dot(P, V, preferred_element_type=jnp.float32)
     o_ref[...] = O.reshape(mb, Lp, D).astype(o_ref.dtype)
 
@@ -260,10 +271,10 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, do_ref,
         # dropout mask replays exactly (same per-block slice order)
         pltpu.prng_seed(_program_seed(seed_ref))
     Lp, D = q_ref.shape[1], q_ref.shape[2]
-    Q = q_ref[...].reshape(mb * Lp, D).astype(jnp.float32) * scale
-    K = k_ref[...].reshape(mb * Lp, D).astype(jnp.float32)
-    V = v_ref[...].reshape(mb * Lp, D).astype(jnp.float32)
-    dO = do_ref[...].reshape(mb * Lp, D).astype(jnp.float32)
+    Q = q_ref[...].reshape(mb * Lp, D)
+    K = k_ref[...].reshape(mb * Lp, D)
+    V = v_ref[...].reshape(mb * Lp, D)
+    dO = do_ref[...].reshape(mb * Lp, D)
     S = jnp.dot(Q, K.T, preferred_element_type=jnp.float32)
 
     # recompute y (pre-dropout softmax) and z (post-dropout) blockwise; also
@@ -273,7 +284,7 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, do_ref,
     inv = 1.0 / (1.0 - p_drop) if p_drop > 0.0 else 1.0
     for i in range(mb):
         sl = slice(i * Lp, (i + 1) * Lp)
-        s = S[sl, sl] + m_ref[i].astype(jnp.float32)
+        s = S[sl, sl] * scale + m_ref[i].astype(jnp.float32)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         y = jnp.exp(s)
         y = y / jnp.sum(y, axis=-1, keepdims=True)
@@ -286,13 +297,13 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, do_ref,
             z = y
             dy = dz
         t = jnp.sum(dy * y, axis=-1, keepdims=True)
-        z_blocks.append(z)
-        ds_blocks.append(y * (dy - t))
+        z_blocks.append(z.astype(Q.dtype))
+        ds_blocks.append((y * (dy - t)).astype(Q.dtype))
     Zb = _block_diag(z_blocks, Lp, mb)
     dS = _block_diag(ds_blocks, Lp, mb)
     dv = jnp.dot(Zb.T, dO, preferred_element_type=jnp.float32)
     dq = jnp.dot(dS, K, preferred_element_type=jnp.float32) * scale
-    dk = jnp.dot(dS.T, Q, preferred_element_type=jnp.float32)
+    dk = jnp.dot(dS.T, Q, preferred_element_type=jnp.float32) * scale
     dq_ref[...] = dq.reshape(mb, Lp, D).astype(dq_ref.dtype)
     dk_ref[...] = dk.reshape(mb, Lp, D).astype(dk_ref.dtype)
     dv_ref[...] = dv.reshape(mb, Lp, D).astype(dv_ref.dtype)
@@ -337,11 +348,11 @@ def fused_attention(q, k, v, mask, p_drop, seed):
 
 def _fused_block_rows(B, Lp):
     # batched score matrix is [mb*Lp, mb*Lp] f32; bwd holds ~4 of them in
-    # VMEM (S, dZ, Z, dS) -> keep mb*Lp around 512 (4 x 1 MB)
-    mb = 8
-    while mb * Lp > 512 and mb > 1:
-        mb //= 2
-    while B % mb:
+    # VMEM (S, dZ, Z, dS) -> keep mb*Lp around 512 (4 x 1 MB).
+    # UNIREC_FUSED_MB overrides for A/B scans (bench/bench_attention.py).
+    env = os.environ.get("UNIREC_FUSED_MB")
+    mb = int(env) if env else 8
+    while mb > 1 and (B % mb or (env is None and mb * Lp > 512)):
         mb //= 2
     return max(mb, 1)
 

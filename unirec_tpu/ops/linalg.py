@@ -9,20 +9,24 @@ matmuls (SURVEY.md §7 hard-part 6; reference memory note
 unirec/model/cf/ease.py:31-36).
 
 All routines are pure jax and shape-static (the block loop is unrolled in
-Python), so they jit once per (N, block) and run unchanged on a sharded
-matrix: place A with PartitionSpec('model', None) on a mesh and GSPMD
-partitions the matmuls / inserts the collectives.
+Python; a ragged final block is handled with its own shapes rather than by
+padding, so no [N, N] pad copy is ever made), and they run unchanged on a
+sharded matrix: place A with PartitionSpec('model', None) on a mesh and
+GSPMD partitions the matmuls / inserts the collectives.
 
-Memory notes at N=50k f32 (10 GB for one [N, N]):
+Memory notes at N=50k f32 (10 GB for one [N, N] on a 16 GB chip):
   - the trailing Cholesky update runs column-block-wise so the largest
     temporary is [N, block], never [N, N];
-  - `spd_inverse_columns` streams the inverse out in [N, block] column
-    slabs (caller assembles on host), so device peak is one [N, N] plus
-    one slab — a full device-side P = XᵀX would need 2x [N, N].
+  - `blocked_tri_inv_lower` writes the inverse *into* L's buffer (row
+    block i only needs L's row i and already-inverted rows < i), so with
+    donation the whole chol → tri-inv chain peaks at one [N, N];
+  - `spd_inverse_columns` donates through that chain and streams the
+    inverse out in [N, block] column slabs (caller assembles on host) — a
+    full device-side P = XᵀX would need 2x [N, N].
 """
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,18 +34,9 @@ import numpy as np
 from jax.scipy.linalg import solve_triangular
 
 
-def _pad_spd(A: jnp.ndarray, nb: int) -> Tuple[jnp.ndarray, int]:
-    """Pad an SPD matrix to a block multiple with an identity tail (keeps it
-    SPD; the tail factors/inverts to identity and is sliced away)."""
-    N = A.shape[0]
-    Np = -(-N // nb) * nb
-    if Np == N:
-        return A, N
-    pad = Np - N
-    out = jnp.zeros((Np, Np), A.dtype)
-    out = out.at[:N, :N].set(A)
-    out = out.at[jnp.arange(N, Np), jnp.arange(N, Np)].set(1.0)
-    return out, N
+def _block_bounds(N: int, nb: int) -> List[Tuple[int, int]]:
+    """[start, end) bounds of nb-sized blocks; the last may be ragged."""
+    return [(s, min(s + nb, N)) for s in range(0, N, nb)]
 
 
 def blocked_cholesky(A: jnp.ndarray, nb: int) -> jnp.ndarray:
@@ -49,49 +44,41 @@ def blocked_cholesky(A: jnp.ndarray, nb: int) -> jnp.ndarray:
 
     Every op is tile-friendly: cholesky on [nb, nb] panels, triangular
     solves [nb, nb] x [nb, N], and column-blocked trailing matmul updates
-    (largest temporary [N-k*nb, nb])."""
-    A, N = _pad_spd(A, nb)
-    Np = A.shape[0]
-    B = Np // nb
-    for k in range(B):
-        s = k * nb
-        e = s + nb
-        Akk = A[s:e, s:e]
-        Lkk = jnp.linalg.cholesky(Akk)
+    (largest temporary [N-k*nb, nb]). Safe to donate A into the jit."""
+    N = A.shape[0]
+    bounds = _block_bounds(N, nb)
+    for k, (s, e) in enumerate(bounds):
+        Lkk = jnp.linalg.cholesky(A[s:e, s:e])
         A = A.at[s:e, s:e].set(Lkk)
-        if e < Np:
+        if e < N:
             panel = solve_triangular(Lkk, A[e:, s:e].T, lower=True).T
             A = A.at[e:, s:e].set(panel)
             # trailing update in column blocks: A[e:, j] -= panel @ L_jk^T
-            for j in range(k + 1, B):
-                js, je = j * nb, (j + 1) * nb
+            for js, je in bounds[k + 1:]:
                 Ljk = panel[js - e:je - e, :]
-                A = A.at[je - nb:Np, js:je].add(
-                    -(panel[js - e:, :] @ Ljk.T))
-    L = jnp.tril(A)
-    return L[:N, :N] if N != Np else L
+                A = A.at[js:N, js:je].add(-(panel[js - e:, :] @ Ljk.T))
+    return jnp.tril(A)
 
 
 def blocked_tri_inv_lower(L: jnp.ndarray, nb: int) -> jnp.ndarray:
-    """X = L^-1 for lower-triangular L, blockwise:
-        X_ii = L_ii^-1,   X_ij = -X_ii (Σ_{j<=k<i} L_ik X_kj),  i > j."""
-    Lp, N = _pad_spd(L, nb)  # identity tail is its own inverse
-    Np = Lp.shape[0]
-    B = Np // nb
-    X = jnp.zeros_like(Lp)
-    eye = jnp.eye(nb, dtype=L.dtype)
-    diag_inv = []
-    for i in range(B):
-        s, e = i * nb, (i + 1) * nb
-        Xi = solve_triangular(Lp[s:e, s:e], eye, lower=True)
-        diag_inv.append(Xi)
-        X = X.at[s:e, s:e].set(Xi)
-    for i in range(1, B):
-        si, ei = i * nb, (i + 1) * nb
-        # S = L[i, j..i-1] @ X[j..i-1, :ei-nb] for all j<i at once
-        S = Lp[si:ei, :si] @ X[:si, :si]
-        X = X.at[si:ei, :si].set(-(diag_inv[i] @ S))
-    return X[:N, :N] if N != Np else X
+    """X = L^-1 for lower-triangular L, blockwise and in place:
+        X_ii = L_ii^-1,   X_ij = -X_ii (L_i,<i @ X_<i,<i),   i > j.
+
+    Row block i reads only L's row i (not yet overwritten) and X's rows
+    < i (already written), so the result is built inside L's own buffer —
+    with donation the inverse costs no second [N, N]. The strict upper
+    triangle is zeroed at entry (an aliasing-friendly elementwise pass; it
+    becomes X's upper zeros as rows are overwritten)."""
+    N = L.shape[0]
+    L = jnp.tril(L)
+    for i, (s, e) in enumerate(_block_bounds(N, nb)):
+        Xi = solve_triangular(L[s:e, s:e], jnp.eye(e - s, dtype=L.dtype),
+                              lower=True)
+        if i:
+            S = L[s:e, :s] @ L[:s, :s]
+            L = L.at[s:e, :s].set(-(Xi @ S))
+        L = L.at[s:e, s:e].set(Xi)
+    return L
 
 
 def spd_inverse_columns(A: jnp.ndarray, nb: int,
@@ -99,11 +86,13 @@ def spd_inverse_columns(A: jnp.ndarray, nb: int,
     """Yield (col_start, host [N, cb] slab) of A^-1 for SPD A.
 
     A^-1 = Xᵀ X with X = L^-1; slabs are Xᵀ @ X[:, c:c+cb] so only one
-    [N, cb] temporary exists on device at a time."""
+    [N, cb] temporary exists on device at a time. A is DONATED through the
+    factorization chain: device peak is one [N, N] plus a slab."""
     N = A.shape[0]
     cb = min(out_block or nb, N)
-    L = jax.jit(blocked_cholesky, static_argnums=1)(A, nb)
-    X = jax.jit(blocked_tri_inv_lower, static_argnums=1)(L, nb)
+    L = jax.jit(blocked_cholesky, static_argnums=1, donate_argnums=0)(A, nb)
+    X = jax.jit(blocked_tri_inv_lower, static_argnums=1,
+                donate_argnums=0)(L, nb)
     del L, A
 
     @jax.jit
