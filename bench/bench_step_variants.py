@@ -59,6 +59,14 @@ VARIANTS = {
     "bf16+rbg+direct+remat": {"use_pallas": 0, "compute_dtype": "bfloat16",
                               "dropout_rng_impl": "rbg",
                               "attn_direct_layout": 1, "remat_attention": 1},
+    # round-2c: k-slot expanded backward scatter for the item_seq gather
+    # (ops/embedding.py::gather_expand) — duplicate ids stop serializing
+    "bits8+expand8": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                      "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                      "expand_embedding_grad": 8},
+    "bits8+expand32": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                       "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                       "expand_embedding_grad": 32},
 }
 
 

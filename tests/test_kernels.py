@@ -260,7 +260,43 @@ def test_sorted_grad_gather_matches_plain():
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gp), atol=1e-5)
 
 
-def _tiny_sasrec(compute_dtype):
+def test_expand_grad_gather_matches_plain():
+    from unirec_tpu.ops.embedding import gather_expand
+
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.normal(size=(50, 8)), jnp.float32)
+    # heavy duplication on purpose: the expand path exists for colliding ids
+    ids = jnp.asarray(rng.integers(0, 10, size=(6, 9)), jnp.int32)
+    g = jnp.asarray(rng.normal(size=(6, 9, 8)), jnp.float32)
+
+    for k in (2, 8):
+        out = gather_expand(table, ids, k)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(table[ids]))
+
+        gc = jax.grad(lambda t: jnp.vdot(gather_expand(t, ids, k), g))(table)
+        gp = jax.grad(lambda t: jnp.vdot(t[ids], g))(table)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gp), atol=1e-5)
+
+
+def test_expand_grad_model_trains():
+    model, params, batch = _tiny_sasrec("bfloat16",
+                                        expand_embedding_grad=8)
+    model_p, params_p, _ = _tiny_sasrec("bfloat16")
+
+    def loss_fn(m, p):
+        loss, _ = m.apply(p, batch, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(3)})
+        return loss
+
+    ge = jax.grad(lambda p: loss_fn(model, p))(params)["params"]
+    gp = jax.grad(lambda p: loss_fn(model_p, p))(params_p)["params"]
+    np.testing.assert_allclose(
+        np.asarray(ge["item_embedding"]["embedding"], np.float32),
+        np.asarray(gp["item_embedding"]["embedding"], np.float32),
+        atol=2e-2)
+
+
+def _tiny_sasrec(compute_dtype, **extra):
     from unirec_tpu import config as config_mod
     from unirec_tpu.utils.registry import get_model_class
 
@@ -270,7 +306,7 @@ def _tiny_sasrec(compute_dtype):
         "n_layers": 1, "n_heads": 2, "loss_type": "bce", "group_size": -1,
         "dataloader": "SeqRecDataset", "n_sample_neg_train": 2,
         "hidden_dropout_prob": 0.1, "attn_dropout_prob": 0.1,
-        "compute_dtype": compute_dtype, "use_pallas": 0}, argv=[])
+        "compute_dtype": compute_dtype, "use_pallas": 0, **extra}, argv=[])
     model = get_model_class("SASRec")(cfg=cfg)
     rng = np.random.default_rng(0)
     batch = {

@@ -172,6 +172,16 @@ class BaseRecommender(nn.Module):
             # at bench shapes
             from unirec_tpu.ops.embedding import gather
             return self._cast(gather(emb.embedding, ids) * (ids != 0)[..., None])
+        k = int(self.cfg.get("expand_embedding_grad", 0) or 0)
+        if k > 1:
+            # k-slot expanded backward scatter (ops/embedding.py) — spreads
+            # duplicate-id collision chains over k independent slots. Cast
+            # the TABLE first (like nn.Embed's dtype=) so the gather, the
+            # expanded scatter, and its reduce all run in the compute dtype
+            # — casting after the gather measured as a no-op (see _cast).
+            from unirec_tpu.ops.embedding import gather_expand
+            table = self._cast(emb.embedding)
+            return gather_expand(table, ids, k) * (ids != 0)[..., None]
         return self._cast(emb(ids) * (ids != 0)[..., None])
 
     def _text_emb(self, items: jnp.ndarray) -> jnp.ndarray:

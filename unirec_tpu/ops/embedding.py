@@ -14,6 +14,8 @@ differences only). Gated by config ``sorted_embedding_grad``.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -43,3 +45,41 @@ def _gather_bwd(res, g):
 
 
 gather.defvjp(_gather_fwd, _gather_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_expand(table: jnp.ndarray, ids: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Gather whose backward spreads duplicate-id rows over ``k`` slots.
+
+    XLA's scatter-add serializes the combine over rows with the same id; at
+    bench shapes (1.6M uniform ids into [50k, 64], ~32 duplicates/id) that
+    measured ~10x over the memory roofline, and under a long-tail (zipf)
+    id distribution it degrades to seconds (bench/bench_scatter.py:
+    plain 20.9 s vs expand 0.3 s at the same shapes).
+
+    Backward here scatters row i into slot ``id*k + i % k`` of a [N*k, D]
+    buffer — dropping the expected collision depth k-fold — then reduces
+    the k slots with one dense sum. Costs a k-times-larger intermediate
+    (+ its read-back), so it pays off only when duplicates actually
+    serialize; gated by config ``expand_embedding_grad = k``. Numerics:
+    the same additions in a different order.
+    """
+    return table[ids]
+
+
+def _gather_expand_fwd(table, ids, k):
+    return table[ids], (ids, table)
+
+
+def _gather_expand_bwd(k, res, g):
+    ids, table = res
+    (n, d), dtype = table.shape, table.dtype
+    ids_flat = ids.reshape(-1)
+    g_flat = g.reshape(-1, d).astype(dtype)
+    m = ids_flat.shape[0]
+    slot = ids_flat * k + (jnp.arange(m, dtype=ids_flat.dtype) % k)
+    wide = jnp.zeros((n * k, d), dtype).at[slot].add(g_flat)
+    return wide.reshape(n, k, d).sum(axis=1, dtype=dtype), None
+
+
+gather_expand.defvjp(_gather_expand_fwd, _gather_expand_bwd)
