@@ -67,7 +67,13 @@ def test_cpp_client_matches_python(tmp_path):
     seq_len = rng.integers(1, 10, size=B).astype(np.int32)
     item_id = rng.integers(1, 300, size=(B, C)).astype(np.int32)
     inputs = [user_id, item_seq, seq_len, item_id]
-    tensor_io.write_tensors(str(tmp_path / "in.bin"), inputs)
+    # the raw .mlir module takes only the KEPT args (jax.export prunes
+    # unused ones — MF's score ignores the sequence inputs); feeding the
+    # full logical signature aborts the execution server-side
+    import json
+    manifest = json.load(open(os.path.join(art, "manifest.json")))
+    kept = manifest["functions"]["score"]["kept_inputs"]
+    tensor_io.write_tensors(str(tmp_path / "in.bin"), [inputs[i] for i in kept])
 
     env = dict(os.environ)
     if "axon" in PLUGIN and "UNIREC_PJRT_OPTIONS" not in env:
@@ -76,10 +82,14 @@ def test_cpp_client_matches_python(tmp_path):
         import uuid
         gen = env.get("PALLAS_AXON_TPU_GEN", "v5e")
         rc = 1 if env.get("PALLAS_AXON_REMOTE_COMPILE") == "1" else 0
+        # claim_timeout_s: the pool allocator holds a dead session's tile
+        # claim for up to ~3 minutes; with a timeout the bind retries
+        # server-side instead of failing after the plugin's 8 quick tries
+        # (measured: a run right after another TPU job needs this)
         env["UNIREC_PJRT_OPTIONS"] = (
             f"remote_compile={rc};local_only=0;priority=0;"
             f"topology={gen}:1x1x1;n_slices=1;"
-            f"session_id={uuid.uuid4()};rank=4294967295")
+            f"session_id={uuid.uuid4()};rank=4294967295;claim_timeout_s=180")
         # ...and the process env that sitecustomize.py exports at runtime
         # BEFORE the python PJRT init: without AXON_POOL_SVC_OVERRIDE the
         # stateful session leg resolves the pool's headless-service DNS

@@ -106,11 +106,22 @@ def export_model(model_file: str, out_dir: str, batch_size: int = 0,
         mlir_name = f"{name}.mlir"
         with open(os.path.join(out_dir, mlir_name), "wb") as f:
             f.write(exported.mlir_module_serialized)
+        # jax.export PRUNES arguments the traced function never uses (an
+        # MF score ignores item_seq/item_seq_len, so its module's @main
+        # takes 2 of the 4 logical args). Python consumers are insulated
+        # (Exported.call re-drops them), but a raw-MLIR consumer like
+        # examples/serving_cpp must feed EXACTLY the kept ones — executing
+        # with the logical arity aborts the server side of a PJRT session
+        # with no error surfaced. kept_inputs holds the indices into
+        # in_shapes that the .mlir module actually takes, in order.
+        kept = list(getattr(exported, "module_kept_var_idx",
+                            range(len(specs[name]))))
         manifest["functions"][name] = {
             "file": fname,
             "mlir": mlir_name,
             "in_shapes": [[d if isinstance(d, int) else str(d) for d in s.shape]
                           for s in specs[name]],
+            "kept_inputs": kept,
         }
         # numerical validation against the live model (torch2onnx.py:67-88)
         rng = np.random.default_rng(0)
