@@ -33,6 +33,23 @@ def test_blocked_tri_inv_matches_numpy():
     np.testing.assert_allclose(X @ L, np.eye(100), atol=2e-4)
 
 
+def test_blocked_tri_inv_upper_is_transpose_of_lower():
+    from unirec_tpu.ops.linalg import blocked_tri_inv_upper
+
+    A = _spd(130, seed=3)
+    L = np.linalg.cholesky(A.astype(np.float64)).astype(np.float32)
+    XU = np.asarray(blocked_tri_inv_upper(jnp.asarray(L.T), 32))
+    np.testing.assert_allclose(XU @ L.T, np.eye(130), atol=2e-4)
+    # (Lᵀ)⁻¹ == (L⁻¹)ᵀ — the identity spd_inverse_columns relies on
+    X = np.asarray(blocked_tri_inv_lower(jnp.asarray(L), 32))
+    np.testing.assert_allclose(XU, X.T, atol=1e-5)
+    # assume_triangular skips the triu cleanup; with junk in the lower
+    # triangle results must still match when the flag is off
+    junk = L.T + np.tril(np.ones_like(L), -1)
+    XU2 = np.asarray(blocked_tri_inv_upper(jnp.asarray(junk), 32))
+    np.testing.assert_allclose(XU2, XU, atol=1e-6)
+
+
 @pytest.mark.parametrize("n,nb", [(100, 32), (200, 64)])
 def test_spd_inverse_matches_numpy(n, nb):
     A = _spd(n, seed=1)

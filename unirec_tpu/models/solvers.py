@@ -99,11 +99,21 @@ def _regularized_inverse(G: np.ndarray, cfg, spd: bool = True) -> np.ndarray:
             pass
     if spd:
         try:
-            from unirec_tpu.ops.linalg import spd_inverse_columns
+            from unirec_tpu.ops.linalg import (colmajor_format,
+                                               spd_inverse_columns)
             nb = int(cfg.get("solver_inverse_block", 4096))
             nb = min(nb, n)
+            dG = np.asarray(G, np.float32)
+            fmt = colmajor_format()
+            if fmt is not None:
+                # upload straight into the column-major layout the blocked
+                # factorization runs in — converting on device would need
+                # a second [N, N] (ops/linalg.py colmajor_format note)
+                dG = jax.device_put(dG, fmt)
+            else:
+                dG = jnp.asarray(dG)
             out = np.empty((n, n), np.float32)
-            for c, slab in spd_inverse_columns(jnp.asarray(G, jnp.float32), nb):
+            for c, slab in spd_inverse_columns(dG, nb):
                 out[:, c:c + slab.shape[1]] = slab
             return out
         except Exception:

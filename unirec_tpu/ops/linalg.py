@@ -33,6 +33,27 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.linalg import solve_triangular
 
+def colmajor_format(device=None):
+    """Column-major device Format for the big [N, N] operand, or None.
+
+    XLA's cholesky/triangular-solve custom-calls require column-major
+    inputs; with the default row-major parameter, layout assignment
+    converts the ENTIRE aliased update chain with one full-size copy
+    (9.3 GB at N=50k — measured OOM; HLO-verified at N=12k:
+    ``copy.65 = f32[...]{0,1} copy(A.1)``). Keeping the matrix
+    column-major end to end removes the copy. The matrices here are
+    symmetric, so a column-major buffer holds the same values.
+
+    Lazy (a Format needs a concrete sharding, and building one touches
+    the backend) — call at use time, never at import."""
+    try:  # jax >= 0.9
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+    except ImportError:  # pragma: no cover - older jax
+        return None
+    dev = device if device is not None else jax.devices()[0]
+    return Format(Layout(major_to_minor=(1, 0)), SingleDeviceSharding(dev))
+
 
 def _block_bounds(N: int, nb: int) -> List[Tuple[int, int]]:
     """[start, end) bounds of nb-sized blocks; the last may be ragged."""
@@ -51,12 +72,33 @@ def blocked_cholesky(A: jnp.ndarray, nb: int) -> jnp.ndarray:
         Lkk = jnp.linalg.cholesky(A[s:e, s:e])
         A = A.at[s:e, s:e].set(Lkk)
         if e < N:
-            panel = solve_triangular(Lkk, A[e:, s:e].T, lower=True).T
+            # panel = A[e:, s:e] @ Lkk^-T via an explicit [nb, nb]
+            # triangular inverse + one MXU matmul. A direct
+            # solve_triangular with the [nb, N-e] RHS lowers to XLA's
+            # internal blocked solve whose ~nb/128 update temps (each
+            # [*, N-e]) are all live at once — ~11 GB at N=50k, the
+            # measured OOM. The inverse keeps every temp ≤ [N-e, nb].
+            inv_Lkk = solve_triangular(Lkk, jnp.eye(e - s, dtype=A.dtype),
+                                       lower=True)
+            # einsum (contract on the second axis of both) instead of
+            # `@ inv_Lkk.T`: dot dimension numbers instead of explicit
+            # transposes of A-derived operands
+            panel = jnp.einsum("ik,jk->ij", A[e:, s:e], inv_Lkk)
             A = A.at[e:, s:e].set(panel)
-            # trailing update in column blocks: A[e:, j] -= panel @ L_jk^T
+            del panel
+            # trailing update in column blocks: A[e:, j] -= panel @ L_jk^T.
+            # The panel rows are READ BACK from A (just written above)
+            # instead of sliced from the `panel` value: slices of a live
+            # value have no ordering edges, so XLA hoists all ~N/nb of
+            # them and their products ahead of the update chain — at
+            # N=50k that is 13 concurrent ~0.7 GB temps, 21.5 GB total
+            # program memory (measured OOM). Reading through A serializes
+            # each slice+product behind the previous dynamic-update-slice,
+            # so peak = A + one slice + one product.
             for js, je in bounds[k + 1:]:
-                Ljk = panel[js - e:je - e, :]
-                A = A.at[js:N, js:je].add(-(panel[js - e:, :] @ Ljk.T))
+                Ljk = A[js:je, s:e]
+                A = A.at[js:N, js:je].add(
+                    -jnp.einsum("ik,jk->ij", A[js:N, s:e], Ljk))
     return jnp.tril(A)
 
 
@@ -70,15 +112,56 @@ def blocked_tri_inv_lower(L: jnp.ndarray, nb: int) -> jnp.ndarray:
     triangle is zeroed at entry (an aliasing-friendly elementwise pass; it
     becomes X's upper zeros as rows are overwritten)."""
     N = L.shape[0]
+    bounds = _block_bounds(N, nb)
     L = jnp.tril(L)
-    for i, (s, e) in enumerate(_block_bounds(N, nb)):
+    for i, (s, e) in enumerate(bounds):
         Xi = solve_triangular(L[s:e, s:e], jnp.eye(e - s, dtype=L.dtype),
                               lower=True)
-        if i:
-            S = L[s:e, :s] @ L[:s, :s]
-            L = L.at[s:e, :s].set(-(Xi @ S))
+        # X_i,j = -Xi (Σ_{k≥j} L_i,k X_k,j), column block by column block,
+        # ascending j. A single `L[s:e, :s] @ L[:s, :s]` needs the [s, s]
+        # slice materialized as a matmul operand (non-contiguous → copy):
+        # at N=50k the last row block would copy a ~9.7 GB square next to
+        # the 10 GB matrix. Per column block both operands are ≤ [s, nb],
+        # and both READ THE EVOLVING L (row strip columns ≥ cs are still
+        # original L because blocks are written left-to-right; rows cs:s
+        # of columns cs:ce are already X), so every slice+product is
+        # serialized behind the previous update instead of hoisted —
+        # the same scheduling hazard measured in blocked_cholesky.
+        # X_k,j = 0 for k < j keeps the shortened contraction exact.
+        for cs, ce in bounds[:i]:
+            Scol = L[s:e, cs:s] @ L[cs:s, cs:ce]
+            L = L.at[s:e, cs:ce].set(-(Xi @ Scol))
         L = L.at[s:e, s:e].set(Xi)
     return L
+
+
+def blocked_tri_inv_upper(U: jnp.ndarray, nb: int,
+                          assume_triangular: bool = False) -> jnp.ndarray:
+    """X = U^-1 for upper-triangular U, blockwise and in place.
+
+    The exact transpose of :func:`blocked_tri_inv_lower` — it exists for
+    layout reasons: the cholesky factorization chain is column-major (the
+    custom-calls demand it), while a tri-inverse is all plain matmuls,
+    which XLA prefers row-major — inverting L directly makes layout
+    assignment convert the whole [N, N] buffer twice (measured OOM at
+    N=50k). A column-major LOWER L is bit-identical to a row-major UPPER
+    U = Lᵀ, so ``blocked_tri_inv_upper(L.T)`` costs a free bitcast
+    instead, and (Lᵀ)⁻¹ = Xᵀ feeds A⁻¹ = XᵀX = X_U @ X_Uᵀ directly.
+
+    Same serialization discipline as the lower routine: both matmul
+    operands read the EVOLVING U so slices can't be hoisted together."""
+    N = U.shape[0]
+    bounds = _block_bounds(N, nb)
+    if not assume_triangular:
+        U = jnp.triu(U)
+    for i, (s, e) in enumerate(bounds):
+        Xi = solve_triangular(U[s:e, s:e], jnp.eye(e - s, dtype=U.dtype),
+                              lower=False)
+        for cs, ce in bounds[:i]:
+            Scol = U[cs:ce, cs:s] @ U[cs:s, s:e]
+            U = U.at[cs:ce, s:e].set(-(Scol @ Xi))
+        U = U.at[s:e, s:e].set(Xi)
+    return U
 
 
 def spd_inverse_columns(A: jnp.ndarray, nb: int,
@@ -90,26 +173,45 @@ def spd_inverse_columns(A: jnp.ndarray, nb: int,
     factorization chain: device peak is one [N, N] plus a slab."""
     N = A.shape[0]
     cb = min(out_block or nb, N)
-    L = jax.jit(blocked_cholesky, static_argnums=1, donate_argnums=0)(A, nb)
-    X = jax.jit(blocked_tri_inv_lower, static_argnums=1,
-                donate_argnums=0)(L, nb)
+    fmt = colmajor_format()
+    chol_kw = {}
+    if fmt is not None:
+        # keep the factorization chain column-major (colmajor_format
+        # note); callers should device_put the input with that Format so
+        # the jit boundary does not itself insert the conversion copy
+        chol_kw = {"in_shardings": fmt, "out_shardings": fmt}
+    L = jax.jit(blocked_cholesky, static_argnums=1, donate_argnums=0,
+                **chol_kw)(A, nb)
+
+    # invert the TRANSPOSE: the column-major lower L re-enters as a
+    # (bitcast-free) row-major upper U = Lᵀ, whose inversion is all
+    # row-major matmuls — no layout conversion of the [N, N] buffer
+    # (see blocked_tri_inv_upper). X_U = U⁻¹ = (L⁻¹)ᵀ = Xᵀ.
+    def _tri_inv_t(L, nb):
+        return blocked_tri_inv_upper(jnp.swapaxes(L, 0, 1), nb,
+                                     assume_triangular=True)
+
+    tri_kw = {"in_shardings": fmt} if fmt is not None else {}
+    XU = jax.jit(_tri_inv_t, static_argnums=1, donate_argnums=0,
+                 **tri_kw)(L, nb)
     del L, A
 
     @jax.jit
-    def slab(X, c):
-        cols = jax.lax.dynamic_slice(X, (0, c), (N, cb))
-        # contract over the leading axis instead of forming X.T — the
-        # explicit transpose materializes an [N, N] copy per slab
-        # (measured 7.4 s/slab at N=20k vs sub-second without)
-        return jnp.einsum("ki,kj->ij", X, cols,
-                          preferred_element_type=X.dtype)
+    def slab(XU, c):
+        # A⁻¹ = XᵀX = X_U @ X_Uᵀ; column slab j∈[c, c+cb) contracts over
+        # X_U's second axis with a ROW slice of X_U — contiguous in the
+        # row-major layout, and no explicit [N, N] transpose is formed
+        # (an explicit X.T materialized a copy per slab: 7.4 s at N=20k)
+        rows = jax.lax.dynamic_slice(XU, (c, 0), (cb, N))
+        return jnp.einsum("ik,jk->ij", XU, rows,
+                          preferred_element_type=XU.dtype)
 
     for c in range(0, N - cb + 1, cb):
-        yield c, np.asarray(slab(X, c))
+        yield c, np.asarray(slab(XU, c))
     rem = N % cb
     if rem:
         c = N - rem
-        full = np.asarray(slab(X, N - cb))  # last full-width slab
+        full = np.asarray(slab(XU, N - cb))  # last full-width slab
         yield c, full[:, cb - rem:]
 
 
