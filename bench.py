@@ -90,11 +90,13 @@ def build(**overrides):
         # measured-best config (bench/bench_step_variants.py): bf16 dense
         # towers + bf16 attention core + bf16 embedding tables (params stay
         # f32), hardware-RNG dropout, one random byte per dropout-mask
-        # element — 330 -> 186 ms/step with one-hot windowing. Kernel /
-        # sorted-grad / remat / direct-layout variants measured slower or a
-        # wash and stay opt-in (docs/performance_notes.md).
+        # element, and a single-query final transformer layer (SASRec only
+        # consumes position L-1) — 330 -> 125 ms/step with one-hot
+        # windowing. Kernel / sorted-grad / remat / direct-layout variants
+        # measured slower or a wash and stay opt-in
+        # (docs/performance_notes.md).
         "compute_dtype": "bfloat16", "dropout_rng_impl": "rbg",
-        "dropout_bits": 8, **overrides,
+        "dropout_bits": 8, "last_query_only": 1, **overrides,
     }, argv=[])
     model = get_model_class("SASRec")(cfg=cfg)
     tx = build_optimizer(cfg)

@@ -67,6 +67,33 @@ VARIANTS = {
     "bits8+expand32": {"use_pallas": 0, "compute_dtype": "bfloat16",
                        "dropout_rng_impl": "rbg", "dropout_bits": 8,
                        "expand_embedding_grad": 32},
+    # round-2d: final transformer layer computes ONLY the last query position
+    # (the only position SASRec consumes) — removes that layer's [B,H,L,L]
+    # score/softmax/dropout traffic fwd+bwd and shrinks its FFN by L
+    "bits8+lastq": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                    "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                    "last_query_only": 1},
+    "bits8+nolastq": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                      "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                      "last_query_only": 0},
+    # post-lastq re-tests: with the final layer single-query, the embedding
+    # grad scatter (24 ms/step in the trace) is the biggest single op — the
+    # earlier "wash" verdicts may not hold at the new balance
+    "lastq+expand8": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                      "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                      "last_query_only": 1, "expand_embedding_grad": 8},
+    "lastq+sorted": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                     "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                     "last_query_only": 1, "sorted_embedding_grad": 1},
+    "lastq+remat": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                    "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                    "last_query_only": 1, "remat_attention": 1},
+    "lastq+direct": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                     "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                     "last_query_only": 1, "attn_direct_layout": 1},
+    "lastq+qkvpack": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                      "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                      "last_query_only": 1, "qkv_packed": 1},
 }
 
 

@@ -16,4 +16,10 @@ unirec-tpu train \
     --max_seq_len 50 --embedding_size 64 --hidden_size 64 --inner_size 256 \
     --n_layers 2 --n_heads 2 --hidden_dropout_prob 0.5 --attn_dropout_prob 0.5 \
     --learning_rate 0.001 --batch_size 1024 --epochs 100 --early_stop 10 \
-    --shuffle_train 1 --history_mask_mode autoregressive
+    --shuffle_train 1 --history_mask_mode autoregressive \
+    --compute_dtype bfloat16 --dropout_rng_impl rbg --dropout_bits 8 \
+    --last_query_only 1
+# the last line is the measured-best TPU speed config
+# (docs/performance_notes.md): bf16 towers, hardware-RNG byte-mask dropout,
+# single-query final attention layer (SASRec only consumes position L-1).
+# Drop it for bit-reproducibility with cross-backend threefry dropout.

@@ -589,3 +589,66 @@ def test_qkv_packed_matches_unpacked():
     yp = packed.apply(pp, x, mask, False)
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yu),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_last_query_matches_full_final_row():
+    """last_query=True computes the same math as slicing row L-1 of the full
+    attention output (modulo XLA reduction-order float noise); shapes become
+    [B, 1, H]. Also checked through a full SASRec tower via last_query_only."""
+    from unirec_tpu.models.modules import MultiHeadAttention, causal_attention_mask
+
+    B, L, H = 4, 10, 16
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(B, L, H)), jnp.float32)
+    seq = np.zeros((B, L), np.int32)
+    for i in range(B):  # left-padded, variable lengths
+        n = int(rng.integers(2, L))
+        seq[i, L - n:] = rng.integers(1, 50, n)
+    mask = causal_attention_mask(jnp.asarray(seq))
+
+    full = MultiHeadAttention(2, H, 0.0, 0.0, 1e-12)
+    lastq = MultiHeadAttention(2, H, 0.0, 0.0, 1e-12, last_query=True)
+    p = full.init({"params": jax.random.PRNGKey(0)}, x, mask, False)
+    yf = full.apply(p, x, mask, False)
+    yl = lastq.apply(p, x, mask, False)  # same param structure
+    assert yl.shape == (B, 1, H)
+    np.testing.assert_allclose(np.asarray(yl[:, 0]), np.asarray(yf[:, -1]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_sasrec_last_query_only_matches_full():
+    """SASRec with last_query_only=1 (opt-in, used by the headline bench)
+    produces the same eval user embedding as the full-path encoder, and
+    trains (finite loss)."""
+    from unirec_tpu import config as config_mod
+    from unirec_tpu.utils.registry import get_model_class
+
+    def build(lq):
+        cfg = config_mod.parse_arguments({
+            "model": "SASRec", "n_users": 50, "n_items": 200,
+            "max_seq_len": 10, "embedding_size": 16, "hidden_size": 16,
+            "inner_size": 32, "n_layers": 2, "n_heads": 2, "loss_type": "bce",
+            "hidden_dropout_prob": 0.1, "attn_dropout_prob": 0.1,
+            "dataloader": "SeqRecDataset", "last_query_only": lq,
+        }, argv=[])
+        return get_model_class("SASRec")(cfg=cfg)
+
+    rng = np.random.default_rng(0)
+    seq = np.zeros((4, 10), np.int32)
+    for i in range(4):
+        n = int(rng.integers(2, 10))
+        seq[i, 10 - n:] = rng.integers(1, 200, n)
+    seq = jnp.asarray(seq)
+    batch = {"item_seq": seq, "item_id": jnp.ones((4,), jnp.int32),
+             "label": jnp.ones((4,), jnp.float32)}
+
+    m1, m0 = build(1), build(0)
+    v = m1.init(jax.random.PRNGKey(0), batch, train=False)
+    u1 = m1.apply(v, item_seq=seq, method=m1.forward_user_emb)
+    u0 = m0.apply(v, item_seq=seq, method=m0.forward_user_emb)
+    assert u1.shape == u0.shape == (4, 16)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                               atol=1e-4, rtol=1e-4)
+    loss, _ = m1.apply(v, batch, train=True,
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(loss))

@@ -164,10 +164,23 @@ class MultiHeadAttention(nn.Module):
     # query/key/value), so opt-in; numerics identical to the unpacked form
     # with concatenated kernels (tests/test_kernels.py).
     qkv_packed: bool = False
+    # attend from ONLY the final query position (sequences are left-padded,
+    # so the consumed position is always index L-1 — sasrec.py:59-76 /
+    # seqrecdataset.py:60-68). Keys/values stay full-length; the output is
+    # [B, 1, H]. In eval mode this is bit-identical to slicing the full
+    # output (same contractions per output element); in train mode the
+    # dropout masks draw fewer bits, so trajectories differ bit-wise but
+    # distributions are identical. Used by TransformerEncoder for the last
+    # layer when the downstream consumer only reads the final position —
+    # it removes that layer's [B, H, L, L] score/softmax/dropout traffic
+    # (the measured majority of the train step's HBM bytes).
+    last_query: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
         B, L, H = x.shape
+        if self.last_query:
+            return self._last_query_attention(x, attn_mask, train)
         nh = self.n_heads
         hd = H // nh
         dense = lambda name: nn.Dense(H, kernel_init=self.kernel_init,
@@ -236,6 +249,44 @@ class MultiHeadAttention(nn.Module):
         return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                             name="LayerNorm")(out + x)
 
+    def _last_query_attention(self, x, attn_mask, train):
+        """Single-query attention: q = x[:, -1:], k/v full. Same params as
+        the full path (query/key/value/dense or packed qkv), so the flag can
+        be toggled on an existing checkpoint."""
+        B, L, H = x.shape
+        nh = self.n_heads
+        hd = H // nh
+        dense = lambda name: nn.Dense(H, kernel_init=self.kernel_init,
+                                      bias_init=nn.initializers.zeros,
+                                      dtype=self.dtype, name=name)
+        xq = x[:, L - 1:, :]  # [B, 1, H]
+        if self.qkv_packed:
+            # keep the packed-param structure; the wasted q rows are one
+            # [B,L,H]x[H,H] matmul — noise next to the attention core
+            qkv = nn.Dense(3 * H, kernel_init=self.kernel_init,
+                           bias_init=nn.initializers.zeros,
+                           dtype=self.dtype, name="qkv")(x)
+            qp_full, kp, vp = jnp.split(qkv, 3, axis=-1)
+            qp = qp_full[:, L - 1:, :]
+        else:
+            qp = dense("query")(xq)
+            kp = dense("key")(x)
+            vp = dense("value")(x)
+        q = qp.reshape(B, 1, nh, hd).transpose(0, 2, 1, 3)      # [B,h,1,d]
+        k = kp.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)      # [B,h,L,d]
+        v = vp.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(float(hd))
+        mask_row = attn_mask[..., L - 1:, :]  # causal row L-1 = key-pad mask
+        scores = scores + mask_row.astype(scores.dtype)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = apply_dropout(probs, self.attn_dropout_prob, train, self.bits8)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, H)
+        out = dense("dense")(ctx)
+        out = apply_dropout(out, self.hidden_dropout_prob, train, self.bits8)
+        return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                            name="LayerNorm")(out + xq)
+
 
 class FeedForward(nn.Module):
     """Pointwise FFN with residual post-LN (modules.py:319-355)."""
@@ -278,15 +329,18 @@ class TransformerLayer(nn.Module):
     direct_layout: bool = False
     bits8: bool = False
     qkv_packed: bool = False
+    last_query: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
         x = MultiHeadAttention(self.n_heads, self.hidden_size,
                                self.hidden_dropout_prob, self.attn_dropout_prob,
                                self.layer_norm_eps, self.kernel_init,
-                               self.use_flash, self.use_fused, self.dtype,
-                               self.direct_layout, self.bits8,
-                               self.qkv_packed,
+                               self.use_flash and not self.last_query,
+                               self.use_fused and not self.last_query,
+                               self.dtype,
+                               self.direct_layout and not self.last_query,
+                               self.bits8, self.qkv_packed, self.last_query,
                                name="multi_head_attention")(x, attn_mask, train)
         return FeedForward(self.hidden_size, self.inner_size,
                            self.hidden_dropout_prob, self.hidden_act,
@@ -317,6 +371,13 @@ class TransformerEncoder(nn.Module):
     remat: bool = False
     bits8: bool = False
     qkv_packed: bool = False
+    # compute the FINAL layer for only the last query position (output
+    # becomes [B, 1, H]). Valid exactly when the consumer reads only the
+    # final position of the encoder output (left-padded sequences; SASRec's
+    # forward_user_emb, sasrec.py:59-76). Earlier layers still run full-length
+    # — their outputs are the last layer's keys/values. Removes the final
+    # layer's [B, H, L, L] attention-core traffic and shrinks its FFN by L.
+    last_query_only: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
@@ -325,12 +386,13 @@ class TransformerEncoder(nn.Module):
             # train is a static bool (it selects the dropout branch)
             layer_cls = nn.remat(TransformerLayer, static_argnums=(3,))
         for i in range(self.n_layers):
+            last_q = self.last_query_only and i == self.n_layers - 1
             x = layer_cls(self.n_heads, self.hidden_size, self.inner_size,
                           self.hidden_dropout_prob, self.attn_dropout_prob,
                           self.hidden_act, self.layer_norm_eps,
                           self.kernel_init, self.use_flash,
                           self.use_fused, self.dtype, self.direct_layout,
-                          self.bits8, self.qkv_packed,
+                          self.bits8, self.qkv_packed, last_q,
                           name=f"layer_{i}")(x, attn_mask, train)
         return x
 

@@ -267,7 +267,11 @@ class AdaRanker(RankerBase):
                 dtype=self.compute_dtype,
                 direct_layout=bool(c.get("attn_direct_layout", 0)),
                 remat=bool(c.get("remat_attention", 0)),
-                bits8=int(c.get("dropout_bits", 32)) == 8)
+                bits8=int(c.get("dropout_bits", 32)) == 8,
+                # _encode_seq reads only [:, -1, :] (adaranker.py:104-121),
+                # so the final layer can run single-query (see modules.py);
+                # opt-in — changes the dropout stream (fixed-seed trajectories)
+                last_query_only=bool(c.get("last_query_only", 0)))
             self.input_ln = nn.LayerNorm(
                 epsilon=float(c.get("layer_norm_eps", 1e-12)), name="LayerNorm")
             self.input_dropout = nn.Dropout(float(c.get("hidden_dropout_prob", 0.5)))
