@@ -147,6 +147,7 @@ def main():
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     flops_per_step = float(ca.get("flops", float("nan")))
+    bytes_per_step = float(ca.get("bytes accessed", float("nan")))
 
     params, opt_state, loss = step(params, opt_state, jb,
                                    jax.random.fold_in(key, 0))
@@ -171,14 +172,30 @@ def main():
     throughput = BATCH * n / dt
     achieved_tflops = throughput / BATCH * flops_per_step / 1e12
     mfu = achieved_tflops / PEAK_TFLOPS
+    # this workload is memory-bound (tens of MFLOP/example at d=64), so the
+    # meaningful speed-of-light is HBM bandwidth, not the MXU peak; report
+    # both and sanity-fail on either being "above physics"
+    achieved_gbs = throughput / BATCH * bytes_per_step / 1e9
+    hbm_util = achieved_gbs / PEAK_HBM_GBS
     accounting = {
         "steps": n, "ms_per_step": round(1000 * dt / n, 2),
         "flops_per_step": flops_per_step,
         "achieved_tflops": round(achieved_tflops, 2),
         "mfu_vs_bf16_peak": round(mfu, 4),
+        "bytes_per_step": bytes_per_step,
+        "achieved_hbm_gbs": round(achieved_gbs, 1),
+        "hbm_utilization": round(hbm_util, 4),
         "final_loss": round(final_loss, 5),
     }
     print(json.dumps({"speed_of_light_check": accounting}), file=sys.stderr)
+    if hbm_util > 1.5:
+        # cost_analysis "bytes accessed" over-counts true HBM traffic (it
+        # charges every fusion operand), so allow headroom above 1.0 — but
+        # >1.5x implied bandwidth means the timing is broken again
+        print(json.dumps({"error": "implied HBM bandwidth far above peak — "
+                          "timing is broken, refusing to report",
+                          **accounting}))
+        sys.exit(1)
     if mfu > 0.95:
         print(json.dumps({"error": "implied MFU > 0.95 — timing is broken, "
                           "refusing to report an impossible number",

@@ -94,6 +94,21 @@ VARIANTS = {
     "lastq+qkvpack": {"use_pallas": 0, "compute_dtype": "bfloat16",
                       "dropout_rng_impl": "rbg", "dropout_bits": 8,
                       "last_query_only": 1, "qkv_packed": 1},
+    # round-2e: head-stacked attention — all heads in one [B,L,H]@[B,H,nh*L]
+    # matmul against block-diagonal K'/V'; kills the [B,nh,L,*] tensors'
+    # 2.9-4.4x tile padding (trace: attn core 32 ms + head-split copies
+    # 15 ms of the 122 ms step) — and the f32-grad-scatter variant for the
+    # 33 ms duplicate-id embedding-grad combine
+    "lastq+hstack": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                     "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                     "last_query_only": 1, "attn_head_stacked": 1},
+    "lastq+gradf32": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                      "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                      "last_query_only": 1, "embedding_grad_f32": 1},
+    "lastq+hstack+gradf32": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                             "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                             "last_query_only": 1, "attn_head_stacked": 1,
+                             "embedding_grad_f32": 1},
 }
 
 

@@ -652,3 +652,102 @@ def test_sasrec_last_query_only_matches_full():
     loss, _ = m1.apply(v, batch, train=True,
                        rngs={"dropout": jax.random.PRNGKey(1)})
     assert np.isfinite(float(loss))
+
+
+def test_head_stacked_matches_per_head():
+    """head_stacked computes identical attention math to the per-head path
+    (same params), for multiple head counts, full and last-query."""
+    from unirec_tpu.models.modules import MultiHeadAttention, causal_attention_mask
+
+    B, L, H = 4, 10, 16
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(B, L, H)), jnp.float32)
+    seq = np.zeros((B, L), np.int32)
+    for i in range(B):
+        n = int(rng.integers(2, L))
+        seq[i, L - n:] = rng.integers(1, 50, n)
+    mask = causal_attention_mask(jnp.asarray(seq))
+
+    for nh in (2, 4):
+        full = MultiHeadAttention(nh, H, 0.0, 0.0, 1e-12)
+        stacked = MultiHeadAttention(nh, H, 0.0, 0.0, 1e-12, head_stacked=True)
+        p = full.init({"params": jax.random.PRNGKey(0)}, x, mask, False)
+        yf = full.apply(p, x, mask, False)
+        ys = stacked.apply(p, x, mask, False)  # same param structure
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yf),
+                                   atol=1e-5, rtol=1e-5)
+        both = MultiHeadAttention(nh, H, 0.0, 0.0, 1e-12, head_stacked=True,
+                                  last_query=True)
+        yb = both.apply(p, x, mask, False)
+        assert yb.shape == (B, 1, H)
+        np.testing.assert_allclose(np.asarray(yb[:, 0]), np.asarray(yf[:, -1]),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_sasrec_head_stacked_matches_full():
+    """SASRec with attn_head_stacked=1 (+ last_query_only) produces the same
+    eval user embedding as the default encoder and trains (finite loss, grads
+    flow to the embedding table)."""
+    from unirec_tpu import config as config_mod
+    from unirec_tpu.utils.registry import get_model_class
+
+    def build(**kw):
+        cfg = config_mod.parse_arguments({
+            "model": "SASRec", "n_users": 50, "n_items": 200,
+            "max_seq_len": 10, "embedding_size": 16, "hidden_size": 16,
+            "inner_size": 32, "n_layers": 2, "n_heads": 2, "loss_type": "bce",
+            "hidden_dropout_prob": 0.1, "attn_dropout_prob": 0.1,
+            "dataloader": "SeqRecDataset", **kw,
+        }, argv=[])
+        return get_model_class("SASRec")(cfg=cfg)
+
+    rng = np.random.default_rng(0)
+    seq = np.zeros((4, 10), np.int32)
+    for i in range(4):
+        n = int(rng.integers(2, 10))
+        seq[i, 10 - n:] = rng.integers(1, 200, n)
+    seq = jnp.asarray(seq)
+    batch = {"item_seq": seq, "item_id": jnp.ones((4,), jnp.int32),
+             "label": jnp.ones((4,), jnp.float32)}
+
+    m0 = build()
+    v = m0.init(jax.random.PRNGKey(0), batch, train=False)
+    u0 = m0.apply(v, item_seq=seq, method=m0.forward_user_emb)
+    for kw in ({"attn_head_stacked": 1},
+               {"attn_head_stacked": 1, "last_query_only": 1}):
+        m1 = build(**kw)
+        u1 = m1.apply(v, item_seq=seq, method=m1.forward_user_emb)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                                   atol=1e-4, rtol=1e-4)
+        def loss_fn(params):
+            loss, _ = m1.apply({"params": params}, batch, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(1)})
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(v["params"])
+        assert np.isfinite(float(loss))
+        g = grads["item_embedding"]["embedding"]
+        assert float(jnp.abs(g).sum()) > 0
+
+
+def test_gather_cast_grad_matches_default():
+    """gather_cast (f32 backward scatter) forward == bf16-table gather;
+    backward == scatter of the bf16 grads converted to f32."""
+    from unirec_tpu.ops.embedding import gather_cast
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(30, 8)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 30, size=(6, 5)), jnp.int32)
+
+    def f_new(t):
+        return (gather_cast(t, ids, jnp.bfloat16).astype(jnp.float32) ** 2).sum()
+
+    def f_ref(t):
+        return (t.astype(jnp.bfloat16)[ids].astype(jnp.float32) ** 2).sum()
+
+    y_new, g_new = jax.value_and_grad(f_new)(table)
+    y_ref, g_ref = jax.value_and_grad(f_ref)(table)
+    np.testing.assert_allclose(float(y_new), float(y_ref), rtol=1e-6)
+    # reference grad scatters bf16 then converts; ours scatters f32 —
+    # identical additions up to the bf16 rounding of the combine
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               atol=1e-2, rtol=1e-2)

@@ -182,6 +182,12 @@ class BaseRecommender(nn.Module):
             from unirec_tpu.ops.embedding import gather_expand
             table = self._cast(emb.embedding)
             return gather_expand(table, ids, k) * (ids != 0)[..., None]
+        if self.cfg.get("embedding_grad_f32") and self.compute_dtype is not None:
+            # same forward as nn.Embed(dtype=bf16); backward scatter-adds
+            # f32 rows instead of bf16 (ops/embedding.py::gather_cast)
+            from unirec_tpu.ops.embedding import gather_cast
+            return gather_cast(emb.embedding, ids,
+                               self.compute_dtype) * (ids != 0)[..., None]
         return self._cast(emb(ids) * (ids != 0)[..., None])
 
     def _text_emb(self, items: jnp.ndarray) -> jnp.ndarray:

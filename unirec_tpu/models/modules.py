@@ -175,10 +175,27 @@ class MultiHeadAttention(nn.Module):
     # it removes that layer's [B, H, L, L] score/softmax/dropout traffic
     # (the measured majority of the train step's HBM bytes).
     last_query: bool = False
+    # TPU tile-padding fix: every [B, nh, L, L] / [B, nh, L, hd] tensor of
+    # the per-head formulation puts (L, L) or (L, hd) on the (sublane, lane)
+    # tile dims, and at reference shapes (L=50, hd=32 vs the 8x128 tile)
+    # that wastes 2.9-4.4x of the attention core's HBM in pure padding —
+    # the measured majority of this block's cost. head_stacked computes ALL
+    # heads in one [B, L, H] @ [B, H, nh*L] batched matmul against
+    # block-diagonal stacked keys/values (k'[b, h*L+j, :] holds k_h[b, j]
+    # in d-block h, zero elsewhere; q's natural [B, L, H] layout already
+    # has head h in d-block h, so the full-H dot IS the per-head dot).
+    # Scores/probs live as [B, L, nh*L] (minor dim nh*L: 1.28x padding at
+    # nh=2, L=50 instead of 2.56x) and the six per-layer head-split
+    # transposes disappear. Same math per element (parity-tested); costs
+    # nh-times the (tiny) score FLOPs and an nh-times-larger k'/v' buffer,
+    # so it is gated to small nh*L and stays opt-in pending the TPU A/B.
+    head_stacked: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
         B, L, H = x.shape
+        if self.head_stacked:
+            return self._head_stacked_attention(x, attn_mask, train)
         if self.last_query:
             return self._last_query_attention(x, attn_mask, train)
         nh = self.n_heads
@@ -287,6 +304,62 @@ class MultiHeadAttention(nn.Module):
         return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                             name="LayerNorm")(out + xq)
 
+    def _head_stacked_attention(self, x, attn_mask, train):
+        """All heads in one batched matmul against block-diagonal stacked
+        keys/values (see ``head_stacked`` above). Parameter structure is
+        identical to the default path, so the flag can be toggled on an
+        existing checkpoint; composes with ``last_query`` (q shrinks to the
+        final row, k'/v' stay stacked)."""
+        B, L, H = x.shape
+        nh = self.n_heads
+        hd = H // nh
+        dense = lambda name: nn.Dense(H, kernel_init=self.kernel_init,
+                                      bias_init=nn.initializers.zeros,
+                                      dtype=self.dtype, name=name)
+        if self.qkv_packed:
+            qkv = nn.Dense(3 * H, kernel_init=self.kernel_init,
+                           bias_init=nn.initializers.zeros,
+                           dtype=self.dtype, name="qkv")(x)
+            qp, kp, vp = jnp.split(qkv, 3, axis=-1)
+        else:
+            qp = dense("query")(x)
+            kp = dense("key")(x)
+            vp = dense("value")(x)
+        if self.last_query:
+            xq = x[:, L - 1:, :]
+            qp = qp[:, L - 1:, :]
+        else:
+            xq = x
+        Q = qp.shape[1]
+
+        def stack(p):  # [B, L, H] -> block-diagonal [B, nh*L, H]
+            p4 = p.reshape(B, L, nh, hd)
+            blocks = [jnp.pad(p4[:, :, h, :],
+                              ((0, 0), (0, 0), (h * hd, H - (h + 1) * hd)))
+                      for h in range(nh)]
+            return jnp.concatenate(blocks, axis=1)
+
+        kx = stack(kp)
+        vx = stack(vp)
+        # q[b, i, :] holds head h in d-block h and kx[b, h*L+j, :] is zero
+        # outside d-block h, so the full-H contraction IS the per-head dot
+        scores = jnp.einsum("bqd,bkd->bqk", qp, kx) / jnp.sqrt(float(hd))
+        # additive causal mask rows, tiled along the stacked key axis
+        # (key j' = h*L + j carries mask[..., j])
+        mrow = attn_mask[:, 0, L - Q:, :].astype(scores.dtype)  # [B, Q, L]
+        scores = scores + jnp.tile(mrow, (1, 1, nh))
+        # per-head softmax: reduce each length-L block of the stacked axis
+        m = scores.reshape(B, Q, nh, L).max(-1)
+        e = jnp.exp(scores - jnp.repeat(m, L, axis=-1))
+        z = e.reshape(B, Q, nh, L).sum(-1)
+        probs = e / jnp.repeat(z, L, axis=-1)
+        probs = apply_dropout(probs, self.attn_dropout_prob, train, self.bits8)
+        ctx = jnp.einsum("bqk,bkd->bqd", probs, vx)
+        out = dense("dense")(ctx)
+        out = apply_dropout(out, self.hidden_dropout_prob, train, self.bits8)
+        return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                            name="LayerNorm")(out + xq)
+
 
 class FeedForward(nn.Module):
     """Pointwise FFN with residual post-LN (modules.py:319-355)."""
@@ -330,17 +403,20 @@ class TransformerLayer(nn.Module):
     bits8: bool = False
     qkv_packed: bool = False
     last_query: bool = False
+    head_stacked: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
+        special = self.last_query or self.head_stacked
         x = MultiHeadAttention(self.n_heads, self.hidden_size,
                                self.hidden_dropout_prob, self.attn_dropout_prob,
                                self.layer_norm_eps, self.kernel_init,
-                               self.use_flash and not self.last_query,
-                               self.use_fused and not self.last_query,
+                               self.use_flash and not special,
+                               self.use_fused and not special,
                                self.dtype,
-                               self.direct_layout and not self.last_query,
+                               self.direct_layout and not special,
                                self.bits8, self.qkv_packed, self.last_query,
+                               self.head_stacked,
                                name="multi_head_attention")(x, attn_mask, train)
         return FeedForward(self.hidden_size, self.inner_size,
                            self.hidden_dropout_prob, self.hidden_act,
@@ -378,6 +454,11 @@ class TransformerEncoder(nn.Module):
     # — their outputs are the last layer's keys/values. Removes the final
     # layer's [B, H, L, L] attention-core traffic and shrinks its FFN by L.
     last_query_only: bool = False
+    # all-heads-in-one-matmul attention (MultiHeadAttention.head_stacked):
+    # kills the per-head 4-D tensors' 2.9-4.4x tile padding at short L.
+    # Applied to every layer (composes with last_query_only on the final
+    # one). Opt-in, measured lever.
+    head_stacked: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
@@ -393,6 +474,7 @@ class TransformerEncoder(nn.Module):
                           self.kernel_init, self.use_flash,
                           self.use_fused, self.dtype, self.direct_layout,
                           self.bits8, self.qkv_packed, last_q,
+                          self.head_stacked,
                           name=f"layer_{i}")(x, attn_mask, train)
         return x
 

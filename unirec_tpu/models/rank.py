@@ -271,7 +271,8 @@ class AdaRanker(RankerBase):
                 # _encode_seq reads only [:, -1, :] (adaranker.py:104-121),
                 # so the final layer can run single-query (see modules.py);
                 # opt-in — changes the dropout stream (fixed-seed trajectories)
-                last_query_only=bool(c.get("last_query_only", 0)))
+                last_query_only=bool(c.get("last_query_only", 0)),
+                head_stacked=bool(c.get("attn_head_stacked", 0)))
             self.input_ln = nn.LayerNorm(
                 epsilon=float(c.get("layer_norm_eps", 1e-12)), name="LayerNorm")
             self.input_dropout = nn.Dropout(float(c.get("hidden_dropout_prob", 0.5)))

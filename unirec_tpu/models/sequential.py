@@ -58,7 +58,10 @@ class SASRec(SeqRecBase):
             # time at bench shapes. Opt-in like the other measured levers
             # (dropout_bits/rbg): it draws the dropout stream differently,
             # so fixed-seed training trajectories change.
-            last_query_only=bool(c.get("last_query_only", 0)))
+            last_query_only=bool(c.get("last_query_only", 0)),
+            # all-heads-in-one-matmul attention (modules.py head_stacked):
+            # avoids the per-head tensors' short-L tile padding; opt-in
+            head_stacked=bool(c.get("attn_head_stacked", 0)))
         self.input_ln = nn.LayerNorm(epsilon=float(c.get("layer_norm_eps", 1e-12)),
                                      dtype=self.compute_dtype, name="LayerNorm")
         drop_cls = modules.Dropout8 if int(c.get("dropout_bits", 32)) == 8 \

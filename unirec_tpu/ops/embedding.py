@@ -83,3 +83,35 @@ def _gather_expand_bwd(k, res, g):
 
 
 gather_expand.defvjp(_gather_expand_fwd, _gather_expand_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_cast(table: jnp.ndarray, ids: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+    """Gather from a cast-to-compute-dtype table whose backward scatters in
+    the PARAM dtype.
+
+    The default bf16-table path (flax ``nn.Embed(dtype=bf16)``) autodiffs to
+    a bf16 scatter-add followed by a bf16->f32 convert of the [N, D] result.
+    A bf16 scatter combines duplicate ids with 2-byte read-modify-writes;
+    this variant feeds the scatter f32 rows instead (the grad rows double in
+    size, but the combine works on 4-byte lanes and the [N, D] convert
+    disappears). Forward numerics identical to the default path (same cast,
+    same gather). Gated by config ``embedding_grad_f32``; keep whichever the
+    in-step A/B favors (bench/bench_step_variants.py).
+    """
+    return table.astype(compute_dtype)[ids]
+
+
+def _gather_cast_fwd(table, ids, compute_dtype):
+    return table.astype(compute_dtype)[ids], (ids, table)
+
+
+def _gather_cast_bwd(compute_dtype, res, g):
+    ids, table = res
+    (n, d), dtype = table.shape, table.dtype
+    ids_flat = ids.reshape(-1)
+    g_flat = g.reshape(-1, d).astype(dtype)
+    return jnp.zeros((n, d), dtype).at[ids_flat].add(g_flat), None
+
+
+gather_cast.defvjp(_gather_cast_fwd, _gather_cast_bwd)
