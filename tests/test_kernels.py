@@ -751,3 +751,41 @@ def test_gather_cast_grad_matches_default():
     # identical additions up to the bf16 rounding of the combine
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                atol=1e-2, rtol=1e-2)
+
+
+def test_fast_topk_certified_exact():
+    """fast_topk's block-max selection (ops/topk.py: gather the k blocks
+    with the largest maxima, sort the k*chunk survivors) returns exactly
+    lax.top_k's values — including under heavy ties at the k-th value —
+    and identical ids when untied."""
+    from unirec_tpu.ops.topk import fast_topk
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(6, 70_000)), jnp.float32)
+    v, i = jax.jit(lambda a: fast_topk(a, 50))(x)
+    vr, ir = jax.lax.top_k(x, 50)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(vr))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+
+    # plant 5000 copies of the boundary value: values must stay exact
+    # (tie ORDER at the boundary is unspecified on the fast path)
+    tie = float(np.asarray(vr)[2, 49])
+    xt = jnp.concatenate(
+        [x, jnp.full((6, 5000), tie, jnp.float32)], axis=1)
+    v2, _ = jax.jit(lambda a: fast_topk(a, 50))(xt)
+    np.testing.assert_array_equal(np.asarray(v2),
+                                  np.asarray(jax.lax.top_k(xt, 50)[0]))
+
+    # small-N path falls back to the plain sort
+    v3, i3 = fast_topk(x[:, :300], 50)
+    np.testing.assert_array_equal(np.asarray(v3),
+                                  np.asarray(jax.lax.top_k(x[:, :300], 50)[0]))
+
+    # adversarial concentration: ALL true top-k inside one block — the
+    # winning block's gather must recover every one of them
+    xc = np.asarray(x).copy()
+    xc[:, 1000:1050] = 100.0 + np.arange(50, dtype=np.float32)
+    v4, i4 = jax.jit(lambda a: fast_topk(a, 50))(jnp.asarray(xc))
+    vr4, ir4 = jax.lax.top_k(jnp.asarray(xc), 50)
+    np.testing.assert_array_equal(np.asarray(v4), np.asarray(vr4))
+    np.testing.assert_array_equal(np.asarray(i4), np.asarray(ir4))

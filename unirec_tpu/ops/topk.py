@@ -132,39 +132,48 @@ def place_item_table(item_emb, mesh: Mesh, axis: str = "model"):
     return sharded, N + pad
 
 
-def fast_topk(x: jnp.ndarray, k: int, chunk: int = 8192,
-              exact: bool = True, recall_target: float = 0.95
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def fast_topk(x: jnp.ndarray, k: int, chunk: int = 32,
+              exact: bool = True, recall_target: float = 0.95,
+              margin: int = 64) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact (or approximate) top-k along the last axis that stays fast at
     catalog scale.
 
     ``jax.lax.top_k`` on TPU lowers to a full variadic sort of the last
-    dimension — measured 16 s for top-100 over a [256, 1M] score matrix
-    (bench/bench_topk.py), 5e4x over the HBM floor. Two fixes:
+    dimension — measured 90-111 ms for top-100 over a [256, 1M] score
+    matrix (bench/bench_topk.py), ~300x over the catalog-read HBM floor; a
+    per-chunk-sort formulation measured even worse (175 ms: many small
+    variadic sorts). Two paths:
 
-    - exact=True: two-stage top-k — per-chunk top-k (any global top-k
-      element is inside its own chunk's top-k, so the union is exact),
-      then top-k over the C*k survivors. Sort cost drops from
-      O(N log^2 N) to O(N log^2 chunk) per row.
+    - exact=True: **block-max selection.** Split the row into blocks of
+      ``chunk`` lanes; one streaming reduce takes each block's max; the
+      true top-k provably lives inside the k blocks with the largest
+      maxima (a block whose max exceeds the true k-th value contains an
+      element exceeding it, and at most k-1 elements do), so gathering
+      those k blocks and sorting k*chunk survivors is exact in the top-k
+      VALUES (tie ORDER at the boundary value may differ from lax.top_k's
+      index order). The full-row variadic sort disappears; the remaining
+      sorts see nb = N/chunk and k*chunk elements. Measured 8.8 ms for
+      top-100 over [256, 1M] at chunk=32 (the measured optimum over
+      chunk in {8..8192}) — 12.6x over lax.top_k, 28x the HBM floor.
     - exact=False: ``jax.lax.approx_max_k`` (TPU-native PartialReduce op)
       with the given recall target — the serving-grade path, matching the
       reference's optional faiss-style approximations.
     """
+    del margin
     N = x.shape[-1]
     if not exact:
         return jax.lax.approx_max_k(x, k, recall_target=recall_target)
-    if N <= 2 * chunk or N < 2 * k:
+    nb = -(-N // chunk)
+    if k >= nb or N <= 4 * k * chunk:
         return jax.lax.top_k(x, k)
-    C = -(-N // chunk)
-    pad = C * chunk - N
+    pad = nb * chunk - N
     if pad:
         x = jnp.concatenate(
             [x, jnp.full(x.shape[:-1] + (pad,), -jnp.inf, x.dtype)], axis=-1)
-    xr = x.reshape(x.shape[:-1] + (C, chunk))
-    kc = min(k, chunk)
-    v1, i1 = jax.lax.top_k(xr, kc)                       # [..., C, kc]
-    gi = i1 + (jnp.arange(C) * chunk)[..., :, None]
-    v2, i2 = jax.lax.top_k(v1.reshape(x.shape[:-1] + (C * kc,)), k)
-    ids = jnp.take_along_axis(gi.reshape(x.shape[:-1] + (C * kc,)), i2,
-                              axis=-1)
-    return v2, ids
+    xr = x.reshape(x.shape[:-1] + (nb, chunk))
+    bmax = xr.max(-1)                                    # [..., nb]
+    _, blk = jax.lax.top_k(bmax, k)                      # k winning blocks
+    cand = jnp.take_along_axis(xr, blk[..., None], axis=-2)  # [..., k, chunk]
+    v, ci = jax.lax.top_k(cand.reshape(x.shape[:-1] + (k * chunk,)), k)
+    ids = jnp.take_along_axis(blk, ci // chunk, axis=-1) * chunk + ci % chunk
+    return v, ids
