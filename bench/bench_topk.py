@@ -32,26 +32,39 @@ def main():
 
     items, users = make(jax.random.PRNGKey(0))
 
-    from unirec_tpu.ops.topk import fast_topk
+    from unirec_tpu.ops.topk import fast_topk, fused_catalog_topk
 
+    def dense(u, it):
+        return jax.lax.dot_general(u, it, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    # bf16 factors: the serving-recommended table dtype — halves the catalog
+    # read and runs the MXU at full rate; exact w.r.t. the bf16 score function
+    items_bf, users_bf = (jnp.asarray(items, jnp.bfloat16),
+                          jnp.asarray(users, jnp.bfloat16))
     variants = {
-        "lax_top_k": lambda s: jax.lax.top_k(s, K),
-        "fast_exact": lambda s: fast_topk(s, K),
-        "approx_95": lambda s: fast_topk(s, K, exact=False,
-                                         recall_target=0.95),
+        "lax_top_k": (lambda u, it: jax.lax.top_k(u @ it.T, K), False),
+        "fast_exact": (lambda u, it: fast_topk(u @ it.T, K), False),
+        "fused_exact": (lambda u, it: fused_catalog_topk(u, it, K), False),
+        "fast_exact_bf16": (lambda u, it: fast_topk(dense(u, it), K), True),
+        "fused_exact_bf16": (lambda u, it: fused_catalog_topk(u, it, K),
+                             True),
+        "approx_95": (lambda u, it: fast_topk(u @ it.T, K, exact=False,
+                                              recall_target=0.95), False),
     }
     floor = N * D * 4 / 819e9
-    for name, fn in variants.items():
+    for name, (fn, use_bf) in variants.items():
         @jax.jit
         def topk(users, items, fn=fn):
-            return fn(users @ items.T)
+            return fn(users, items)
 
-        vals, ids = topk(users, items)
+        u_in, it_in = (users_bf, items_bf) if use_bf else (users, items)
+        vals, ids = topk(u_in, it_in)
         float(jax.device_get(vals[0, 0]))
         steps = 4 if name == "lax_top_k" else 32
         t0 = time.perf_counter()
         for _ in range(steps):
-            vals, ids = topk(users, items)
+            vals, ids = topk(u_in, it_in)
         float(jax.device_get(vals[0, 0]))
         dt = (time.perf_counter() - t0) / steps
         print(json.dumps({

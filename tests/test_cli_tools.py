@@ -110,6 +110,24 @@ def test_cli_as_subprocess(synth_dataset, tmp_path):
     assert "hit@5" in out.stdout
 
 
+def test_reco_topk_fused_matches_dense(trained_ckpt, tmp_path):
+    """The fused serving path (use_fused_topk=1: bias folded into an
+    augmented factor column, history masked inside the kernel wrapper)
+    returns exactly the dense path's recommendations end-to-end."""
+    root, ckpt, _ = trained_ckpt
+    id_file = os.path.join(str(tmp_path), "uids_f.txt")
+    np.savetxt(id_file, np.arange(1, 41), fmt="%i")
+    base = {"model_file": ckpt, "dataset_path": root, "dataset_name": id_file,
+            "user_history_filename": "user_history", "topk": 10}
+    dense = reco_topk.do_topk_reco(
+        dict(base, output_path=os.path.join(str(tmp_path), "dense.csv"),
+             use_fused_topk=0))
+    fused = reco_topk.do_topk_reco(
+        dict(base, output_path=os.path.join(str(tmp_path), "fusedp.csv"),
+             use_fused_topk=1))
+    np.testing.assert_array_equal(dense, fused)
+
+
 def test_reco_topk_sharded_matches_single(trained_ckpt, tmp_path):
     """reco-topk over a row-sharded catalog (mesh_model=8) returns exactly
     the single-device recommendations — the distributed serving path."""

@@ -789,3 +789,65 @@ def test_fast_topk_certified_exact():
     vr4, ir4 = jax.lax.top_k(jnp.asarray(xc), 50)
     np.testing.assert_array_equal(np.asarray(v4), np.asarray(vr4))
     np.testing.assert_array_equal(np.asarray(i4), np.asarray(ir4))
+
+
+def test_fused_catalog_topk_exact():
+    """fused_catalog_topk (Pallas blockmax + two-pass re-score, ops/topk.py)
+    returns exactly the ids of lax.top_k over the dense scores, on the
+    interpret path (CPU), including: catalog not a multiple of chunk or
+    item_block, all-negative scores (so the zero-padded catalog rows would
+    win if not masked), history exclusion with a kept target, and pad-item
+    exclusion."""
+    from unirec_tpu.ops.topk import fused_catalog_topk
+
+    rng = np.random.default_rng(3)
+    B, N, D, K = 12, 5003, 16, 10
+    users = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    items = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+
+    def dense(u, it):
+        return jax.lax.dot_general(u, it, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    v, i = fused_catalog_topk(users, items, K, item_block=256,
+                              interpret=True)
+    vr, ir = jax.lax.top_k(dense(users, items), K)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vr), rtol=1e-6)
+
+    # all-negative scores: every zero-padded catalog row (score 0) would
+    # outrank every real item unless masked
+    users_neg = -jnp.abs(users) - 1.0
+    items_pos = jnp.abs(items) + 1.0     # scores strictly negative
+    v2, i2 = fused_catalog_topk(users_neg, items_pos, K, item_block=256,
+                                interpret=True)
+    vr2, ir2 = jax.lax.top_k(dense(users_neg, items_pos), K)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(ir2))
+    assert float(np.asarray(v2).max()) < 0.0
+
+    # history exclusion + kept target + pad-item exclusion vs the dense
+    # masked reference (reference reco_topk.py:81-85 semantics)
+    hcap = 7
+    hist = rng.integers(1, N, size=(B, hcap)).astype(np.int32)
+    hlen = rng.integers(0, hcap + 1, size=(B,)).astype(np.int32)
+    keep = hist[np.arange(B), np.maximum(hlen - 1, 0)].astype(np.int32)
+    v3, i3 = fused_catalog_topk(
+        users, items, K, item_block=256, interpret=True,
+        hist_items=jnp.asarray(hist), hist_len=jnp.asarray(hlen),
+        keep_ids=jnp.asarray(keep), exclude_pad_item=True)
+    sc = np.asarray(dense(users, items)).copy()
+    for b in range(B):
+        banned = set(hist[b, :hlen[b]].tolist()) - {int(keep[b])}
+        banned.add(0)
+        sc[b, list(banned)] = -np.inf
+    vr3, ir3 = jax.lax.top_k(jnp.asarray(sc), K)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(ir3))
+
+    # adversarial concentration: the whole true top-k inside one block
+    itc = np.asarray(items).copy()
+    itc[300:300 + K] = 50.0 * np.asarray(users[5] /
+                                         np.linalg.norm(users[5]))
+    v4, i4 = fused_catalog_topk(users, jnp.asarray(itc), K,
+                                item_block=256, interpret=True)
+    vr4, ir4 = jax.lax.top_k(dense(users, jnp.asarray(itc)), K)
+    np.testing.assert_array_equal(np.asarray(i4), np.asarray(ir4))
