@@ -30,8 +30,8 @@ def main():
 
     items, users = jax.jit(make)(jax.random.PRNGKey(0))
 
-    for chunk, ib in itertools.product((16, 32, 64, 128),
-                                       (None, 2048, 8192, 16384)):
+    for chunk, ib in itertools.product((4, 8, 16),
+                                       (8192, 16384)):
         if ib is not None and ib % chunk:
             continue
 

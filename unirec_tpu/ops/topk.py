@@ -240,7 +240,7 @@ def catalog_blockmax(user_emb: jnp.ndarray, item_emb_padded: jnp.ndarray,
 
 
 def fused_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray, k: int,
-                       *, chunk: int = 32, item_block: Optional[int] = None,
+                       *, chunk: int = 16, item_block: Optional[int] = None,
                        hist_items: Optional[jnp.ndarray] = None,
                        hist_len: Optional[jnp.ndarray] = None,
                        keep_ids: Optional[jnp.ndarray] = None,
@@ -255,10 +255,11 @@ def fused_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray, k: int,
     k' blocks with the largest maxima (a proven superset of the true top-k
     — see ``fast_topk``; k' adds headroom for catalog padding and masked
     candidates) are re-scored from their item vectors and sorted. Measured
-    for top-100 over [256 users x 1M items x d=64] (bench/bench_topk.py):
-    8.3 ms vs 9.6 ms for matmul + ``fast_topk`` and ~91 ms for matmul +
-    ``lax.top_k`` with f32 factors; 6.9 ms vs 8.0 ms with bf16 factors
-    (the serving-recommended table dtype — halves the catalog read).
+    for top-100 over [256 users x 1M items x d=64] (bench/bench_topk.py,
+    chunk=16 per the bench/probe_topk_chunk.py A/B): 7.2 ms vs 8.3 ms for
+    matmul + ``fast_topk`` and ~91 ms for matmul + ``lax.top_k`` with f32
+    factors; 5.2 ms with bf16 factors (the serving-recommended table
+    dtype — halves the catalog read; 17.5x over matmul + ``lax.top_k``).
     Returned ids match ``lax.top_k`` of the dense
     scores exactly (tested incl. adversarial cases); values agree to 1 ulp
     (pass-2 re-scores with a differently-shaped contraction).
