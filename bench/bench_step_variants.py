@@ -109,6 +109,12 @@ VARIANTS = {
                              "dropout_rng_impl": "rbg", "dropout_bits": 8,
                              "last_query_only": 1, "attn_head_stacked": 1,
                              "embedding_grad_f32": 1},
+    # round-2f: Pallas fused dense->act->dense FFN (ops/ffn.py) — the
+    # [T, inner] activation stays in VMEM: no forward HBM round-trip and no
+    # autodiff residual; backward recomputes it (step is memory-bound)
+    "lastq+ffn": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                  "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                  "last_query_only": 1, "use_fused_ffn": 1},
 }
 
 

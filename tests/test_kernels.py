@@ -851,3 +851,95 @@ def test_fused_catalog_topk_exact():
                                 item_block=256, interpret=True)
     vr4, ir4 = jax.lax.top_k(dense(users, jnp.asarray(itc)), K)
     np.testing.assert_array_equal(np.asarray(i4), np.asarray(ir4))
+
+
+def test_fused_ffn_matches_reference():
+    """Pallas fused dense->act->dense (ops/ffn.py) matches the XLA reference
+    forward and in all five gradients, for every supported activation, with
+    a token count that is not a multiple of the block (exercises padding)."""
+    from unirec_tpu.ops.ffn import fused_ffn, ffn_reference
+
+    rng = np.random.default_rng(0)
+    T, D, F = 37, 16, 64
+    x = jnp.asarray(rng.normal(size=(T, D)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(D, F)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(F,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(F, D)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+    dy = jnp.asarray(rng.normal(size=(T, D)), jnp.float32)
+
+    for act in ("relu", "swish", "sigmoid", "tanh", "gelu", "leakyrelu"):
+        y = fused_ffn(x, w1, b1, w2, b2, act, 16, True)
+        yr = ffn_reference(x, w1, b1, w2, b2, act)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
+                                   atol=1e-5, rtol=1e-5)
+        f = lambda *a: jnp.vdot(fused_ffn(*a, act, 16, True), dy)
+        fr = lambda *a: jnp.vdot(ffn_reference(*a, act), dy)
+        g = jax.grad(f, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        gr = jax.grad(fr, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        for a, b in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+
+def test_fused_ffn_bf16_close_to_f32():
+    """bf16 operands: fused kernel stays close to the f32 XLA reference
+    (both use f32 accumulation)."""
+    from unirec_tpu.ops.ffn import fused_ffn, ffn_reference
+
+    rng = np.random.default_rng(1)
+    T, D, F = 24, 16, 32
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.2, jnp.float32)
+    x, w1, b1, w2, b2 = mk(T, D), mk(D, F), mk(F), mk(F, D), mk(D)
+    y = fused_ffn(x.astype(jnp.bfloat16), w1.astype(jnp.bfloat16),
+                  b1.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
+                  b2.astype(jnp.bfloat16), "gelu", 8, True)
+    yr = ffn_reference(x, w1, b1, w2, b2, "gelu")
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(yr),
+                               atol=0.05, rtol=0.05)
+
+
+def test_sasrec_fused_ffn_matches_full():
+    """SASRec with use_fused_ffn=1 keeps the identical param tree, produces
+    the same eval user embedding as the default encoder, and trains (finite
+    loss, grads flow to the FFN kernels)."""
+    from unirec_tpu import config as config_mod
+    from unirec_tpu.utils.registry import get_model_class
+
+    def build(**kw):
+        cfg = config_mod.parse_arguments({
+            "model": "SASRec", "n_users": 50, "n_items": 200,
+            "max_seq_len": 10, "embedding_size": 16, "hidden_size": 16,
+            "inner_size": 32, "n_layers": 2, "n_heads": 2, "loss_type": "bce",
+            "hidden_dropout_prob": 0.1, "attn_dropout_prob": 0.1,
+            "dataloader": "SeqRecDataset", **kw,
+        }, argv=[])
+        return get_model_class("SASRec")(cfg=cfg)
+
+    rng = np.random.default_rng(0)
+    seq = np.zeros((4, 10), np.int32)
+    for i in range(4):
+        n = int(rng.integers(2, 10))
+        seq[i, 10 - n:] = rng.integers(1, 200, n)
+    seq = jnp.asarray(seq)
+    batch = {"item_seq": seq, "item_id": jnp.ones((4,), jnp.int32),
+             "label": jnp.ones((4,), jnp.float32)}
+
+    m0, m1 = build(), build(use_fused_ffn=1)
+    v = m0.init(jax.random.PRNGKey(0), batch, train=False)
+    v1 = m1.init(jax.random.PRNGKey(0), batch, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v1)
+    u0 = m0.apply(v, item_seq=seq, method=m0.forward_user_emb)
+    u1 = m1.apply(v, item_seq=seq, method=m1.forward_user_emb)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss_fn(params):
+        loss, _ = m1.apply({"params": params}, batch, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+        return loss
+    loss, grads = jax.value_and_grad(loss_fn)(v["params"])
+    assert np.isfinite(float(loss))
+    g = grads["trm_encoder"]["layer_0"]["feed_forward"]["dense_1"]["kernel"]
+    assert float(jnp.abs(g).max()) > 0

@@ -361,8 +361,40 @@ class MultiHeadAttention(nn.Module):
                             name="LayerNorm")(out + xq)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-shaped params (kernel/bias) without the matmul —
+    lets the fused-FFN path own the identical param tree as the nn.Dense
+    modules it replaces (checkpoints trained either way load both ways)."""
+
+    in_features: int
+    features: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init,
+                       (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class FeedForward(nn.Module):
-    """Pointwise FFN with residual post-LN (modules.py:319-355)."""
+    """Pointwise FFN with residual post-LN (modules.py:319-355).
+
+    ``fused=True`` routes dense_1→act→dense_2 through the Pallas
+    ``ops.ffn.fused_ffn`` kernel: the [tokens, inner_size] activation stays
+    in VMEM instead of round-tripping HBM twice forward (plus its autodiff
+    residual backward). Same params, same math (bf16 operands, f32
+    accumulation); dropout + residual LayerNorm stay outside (their traffic
+    is hidden_size-wide).
+
+    Measured at bench shapes (B=32768, L=50, D=64, F=128, v5e): LOSES
+    end-to-end — 163.1 vs 125.7 ms/step (bench/bench_step_variants.py
+    lastq+ffn vs bits8+lastq, identical final loss). The inner activation's
+    HBM round-trip is only a few ms at F=128 while the backward kernel's
+    dW accumulation serializes its 1600-block grid. Opt-in for the
+    large-F regime; default off (docs/performance_notes.md).
+    """
 
     hidden_size: int
     inner_size: int
@@ -372,16 +404,32 @@ class FeedForward(nn.Module):
     kernel_init: Callable = nn.initializers.normal(0.02)
     dtype: Any = None
     bits8: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        h = nn.Dense(self.inner_size, kernel_init=self.kernel_init,
-                     bias_init=nn.initializers.zeros, dtype=self.dtype,
-                     name="dense_1")(x)
-        h = ACT2FN[self.hidden_act](h)
-        h = nn.Dense(self.hidden_size, kernel_init=self.kernel_init,
-                     bias_init=nn.initializers.zeros, dtype=self.dtype,
-                     name="dense_2")(h)
+        if self.fused and self.hidden_act in (
+                "relu", "swish", "sigmoid", "tanh", "gelu", "leakyrelu"):
+            from unirec_tpu.ops import ffn as ffn_ops
+            w1, b1 = _DenseParams(x.shape[-1], self.inner_size,
+                                  self.kernel_init, name="dense_1")()
+            w2, b2 = _DenseParams(self.inner_size, self.hidden_size,
+                                  self.kernel_init, name="dense_2")()
+            dt = self.dtype or jnp.promote_types(x.dtype, w1.dtype)
+            x2 = x.reshape(-1, x.shape[-1]).astype(dt)
+            y = ffn_ops.fused_ffn(
+                x2, w1.astype(dt), b1.astype(dt), w2.astype(dt),
+                b2.astype(dt), self.hidden_act, 1024,
+                jax.default_backend() != "tpu")
+            h = y.reshape(x.shape[:-1] + (self.hidden_size,))
+        else:
+            h = nn.Dense(self.inner_size, kernel_init=self.kernel_init,
+                         bias_init=nn.initializers.zeros, dtype=self.dtype,
+                         name="dense_1")(x)
+            h = ACT2FN[self.hidden_act](h)
+            h = nn.Dense(self.hidden_size, kernel_init=self.kernel_init,
+                         bias_init=nn.initializers.zeros, dtype=self.dtype,
+                         name="dense_2")(h)
         h = apply_dropout(h, self.hidden_dropout_prob, train, self.bits8)
         return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                             name="LayerNorm")(h + x)
@@ -404,6 +452,7 @@ class TransformerLayer(nn.Module):
     qkv_packed: bool = False
     last_query: bool = False
     head_stacked: bool = False
+    fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
@@ -421,7 +470,7 @@ class TransformerLayer(nn.Module):
         return FeedForward(self.hidden_size, self.inner_size,
                            self.hidden_dropout_prob, self.hidden_act,
                            self.layer_norm_eps, self.kernel_init, self.dtype,
-                           self.bits8,
+                           self.bits8, self.fused_ffn,
                            name="feed_forward")(x, train)
 
 
@@ -459,6 +508,9 @@ class TransformerEncoder(nn.Module):
     # Applied to every layer (composes with last_query_only on the final
     # one). Opt-in, measured lever.
     head_stacked: bool = False
+    # Pallas fused dense->act->dense FFN (ops/ffn.py): the [tokens,
+    # inner_size] activation never round-trips HBM. Opt-in, measured lever.
+    fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
@@ -474,7 +526,7 @@ class TransformerEncoder(nn.Module):
                           self.kernel_init, self.use_flash,
                           self.use_fused, self.dtype, self.direct_layout,
                           self.bits8, self.qkv_packed, last_q,
-                          self.head_stacked,
+                          self.head_stacked, self.fused_ffn,
                           name=f"layer_{i}")(x, attn_mask, train)
         return x
 

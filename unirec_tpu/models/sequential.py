@@ -61,7 +61,10 @@ class SASRec(SeqRecBase):
             last_query_only=bool(c.get("last_query_only", 0)),
             # all-heads-in-one-matmul attention (modules.py head_stacked):
             # avoids the per-head tensors' short-L tile padding; opt-in
-            head_stacked=bool(c.get("attn_head_stacked", 0)))
+            head_stacked=bool(c.get("attn_head_stacked", 0)),
+            # Pallas dense->act->dense FFN (ops/ffn.py): [T, inner] stays in
+            # VMEM instead of two HBM round-trips; same params/math, opt-in
+            fused_ffn=bool(c.get("use_fused_ffn", 0)))
         self.input_ln = nn.LayerNorm(epsilon=float(c.get("layer_norm_eps", 1e-12)),
                                      dtype=self.compute_dtype, name="LayerNorm")
         drop_cls = modules.Dropout8 if int(c.get("dropout_bits", 32)) == 8 \
