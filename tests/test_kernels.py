@@ -100,6 +100,40 @@ def test_sharded_catalog_topk_matches_dense():
         np.take_along_axis(dense, np.asarray(ids), axis=1), rtol=1e-5)
 
 
+def test_sharded_catalog_topk_fused_biasfree_matches_dense():
+    """Bias-free sharded top-k takes the per-shard FUSED pass (the [B,
+    n_local] score slab never hits HBM); must equal the dense result,
+    including banning the zero-padded tail rows past n_real. Shapes are
+    sized so the Pallas kernel path (not the small-N dense fallback) is
+    exercised per shard."""
+    import jax.numpy as jnp
+
+    from unirec_tpu.core.mesh import create_mesh
+    from unirec_tpu.ops.topk import place_item_table, sharded_catalog_topk
+
+    mesh = create_mesh(data=1, model=8)
+    rng = np.random.default_rng(13)
+    B, N, D, K = 16, 6997, 24, 10
+    users = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    # all-negative scores: zero pad rows (score 0) would win if unmasked
+    items = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    users = -jnp.abs(users)
+    items = jnp.abs(items)
+
+    dense = np.asarray(users @ items.T)
+    want_ids = np.argsort(-dense, axis=1)[:, :K]
+
+    table, n_pad = place_item_table(items, mesh.mesh)
+    assert n_pad > N  # the padded-tail ban is actually exercised
+    vals, ids = sharded_catalog_topk(users, table, K, mesh.mesh, n_real=N)
+    assert (np.asarray(ids) < N).all()
+    np.testing.assert_array_equal(np.sort(np.asarray(ids), axis=1),
+                                  np.sort(want_ids, axis=1))
+    np.testing.assert_allclose(
+        np.asarray(vals),
+        np.take_along_axis(dense, np.asarray(ids), axis=1), rtol=1e-5)
+
+
 def test_dice_and_sequence_att_layer():
     """DIN-building-block modules (modules.py:135-225 in the reference)."""
     import jax

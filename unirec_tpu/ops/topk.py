@@ -61,13 +61,22 @@ def sharded_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray,
     bias_spec = P(axis) if item_bias is not None else P()
 
     def kernel(u, it, ib):
-        local = jnp.dot(u, it.T, preferred_element_type=jnp.float32)
-        if item_bias is not None:
-            local = local + ib[None, :]
         offset = jax.lax.axis_index(axis) * n_local
-        gids = offset + jnp.arange(n_local)
-        local = jnp.where(gids[None, :] >= n_real, -jnp.inf, local)
-        v, i = fast_topk(local, k_local)                    # [B, k_local]
+        if item_bias is None:
+            # bias-free: per-shard fused pass — the [B, n_local] score
+            # slab never touches HBM (same kernel as the single-chip
+            # path; zero-padded tail rows past the global n_real are
+            # banned via the traced invalid_from bound)
+            v, i = fused_catalog_topk(
+                u, it, k_local,
+                invalid_from=jnp.clip(n_real - offset, 0, n_local),
+                max_invalid=min(n_local, N - n_real))
+        else:
+            local = jnp.dot(u, it.T, preferred_element_type=jnp.float32)
+            local = local + ib[None, :]
+            gids = offset + jnp.arange(n_local)
+            local = jnp.where(gids[None, :] >= n_real, -jnp.inf, local)
+            v, i = fast_topk(local, k_local)                # [B, k_local]
         i = i + offset
         # k_local candidates per shard cross the ICI
         vs = jax.lax.all_gather(v, axis, axis=1)            # [B, S, k_local]
@@ -245,6 +254,8 @@ def fused_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray, k: int,
                        hist_len: Optional[jnp.ndarray] = None,
                        keep_ids: Optional[jnp.ndarray] = None,
                        exclude_pad_item: bool = False,
+                       invalid_from: Optional[jnp.ndarray] = None,
+                       max_invalid: int = 0,
                        interpret: Optional[bool] = None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact single-chip top-k directly from the factors (user_emb [B, D],
@@ -269,6 +280,13 @@ def fused_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray, k: int,
     one id per user (the held-out ``last_item`` target). History exclusion
     works by block overfetch: at most hist+pad candidates can be banned, so
     fetching k + hist_cap + chunk blocks keeps the result exact.
+
+    ``invalid_from`` (traced scalar) bans every local row id >= it —
+    used by ``sharded_catalog_topk`` where a shard's tail rows past the
+    global ``n_real`` are zero padding at a shard-dependent (traced)
+    offset. ``max_invalid`` must statically bound how many rows can be
+    banned this way; it buys the block overfetch that keeps the result
+    exact (same argument as history exclusion).
     """
     B, D = user_emb.shape
     N = item_emb.shape[0]
@@ -278,7 +296,9 @@ def fused_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray, k: int,
         item_block = min(8192, max(chunk,
                                    (2 << 20) // max(2 * D, 1) // chunk * chunk))
     hcap = 0 if hist_items is None else int(hist_items.shape[1])
-    kp = k + (chunk if N % chunk else 0) + (1 if exclude_pad_item else 0) + hcap
+    icap = (-(-max_invalid // chunk) + 1) if invalid_from is not None else 0
+    kp = (k + (chunk if N % chunk else 0) + (1 if exclude_pad_item else 0)
+          + hcap + icap)
     nb_real = -(-N // chunk)
 
     if hist_items is not None:
@@ -289,6 +309,8 @@ def fused_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray, k: int,
 
     def _mask_candidates(sc, iid):
         sc = jnp.where(iid < N, sc, -jnp.inf)
+        if invalid_from is not None:
+            sc = jnp.where(iid >= invalid_from, -jnp.inf, sc)
         if exclude_pad_item:
             sc = jnp.where(iid == 0, -jnp.inf, sc)
         if hist_items is not None:
