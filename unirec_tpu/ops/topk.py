@@ -2,12 +2,12 @@
 
 The reference scores the catalog in CPU numpy and ranks with argpartition
 (evaluator_abc.py:218-247, reco_topk.py:56). On a multi-chip mesh the item
-embedding table lives row-sharded over the 'model' axis; this op keeps the
-[B, n_items] score matrix sharded too: every shard computes its local
-``user_emb @ item_shard.T`` on the MXU, takes a local top-k, and only the
-k candidates per shard (values + global ids) cross the ICI in an
-all-gather — exact top-k with n_items/n_shards memory and O(k·n_shards)
-communication per row.
+embedding table lives row-sharded over the 'model' axis; every shard scores
+its local rows on the MXU (bias-free catalogs run the fused Pallas blockmax
+pass, so the [B, n_local] score slab never touches HBM), takes a local
+top-k, and only the k candidates per shard (values + global ids) cross the
+ICI in an all-gather — exact top-k with n_items/n_shards memory and
+O(k·n_shards) communication per row.
 """
 from __future__ import annotations
 
