@@ -128,6 +128,38 @@ def test_reco_topk_fused_matches_dense(trained_ckpt, tmp_path):
     np.testing.assert_array_equal(dense, fused)
 
 
+def test_reco_topk_approx_mode(trained_ckpt, tmp_path):
+    """--topk_recall_target switches the dense serving path to
+    lax.approx_max_k (the recall-tolerant production mode). The result must
+    keep the contract guarantees — no history/pad items can surface (masking
+    happens before selection) — and overlap the exact top-k at well above
+    the requested recall on this easy synthetic catalog."""
+    root, ckpt, _ = trained_ckpt
+    id_file = os.path.join(str(tmp_path), "uids_a.txt")
+    uids = np.arange(1, 41)
+    np.savetxt(id_file, uids, fmt="%i")
+    base = {"model_file": ckpt, "dataset_path": root, "dataset_name": id_file,
+            "user_history_filename": "user_history", "topk": 10}
+    exact = reco_topk.do_topk_reco(
+        dict(base, output_path=os.path.join(str(tmp_path), "exact.csv")))
+    approx = reco_topk.do_topk_reco(
+        dict(base, output_path=os.path.join(str(tmp_path), "approx.csv"),
+             topk_recall_target=0.95))
+    assert approx.shape == exact.shape
+    assert np.all(approx > 0)  # pad item masked out
+    from unirec_tpu.data.history import UserHistory
+    from unirec_tpu.utils import file_io
+    df = file_io.load_table(os.path.join(root, "user_history"))
+    hist = UserHistory.from_dataframe(df, 201, "user-item_seq")
+    items, lens = hist.gather(uids.astype(np.int32))
+    recalls = []
+    for i in range(len(uids)):
+        seen = set(items[i, :lens[i]].tolist())
+        assert not (set(approx[i].tolist()) & seen)  # history excluded
+        recalls.append(len(set(approx[i]) & set(exact[i])) / len(exact[i]))
+    assert np.mean(recalls) >= 0.9
+
+
 def test_reco_topk_sharded_matches_single(trained_ckpt, tmp_path):
     """reco-topk over a row-sharded catalog (mesh_model=8) returns exactly
     the single-device recommendations — the distributed serving path."""

@@ -48,6 +48,15 @@ def get_topk_recommendations(config, model, params, constants,
     traceable = hasattr(model, "init")
     last_item = int(config.get("last_item", 0))
     tau = float(config.get("tau", 1.0))
+    # recall-tolerant serving: --topk_recall_target 0.95 switches the dense
+    # path to the TPU-native PartialReduce op (lax.approx_max_k) — measured
+    # 3.8x over the exact fused kernel at 1M items (bench/bench_topk.py:
+    # 189.9k vs 49.4k users/s), the counterpart of the reference's optional
+    # faiss-style approximate serving. History masking still applies (the
+    # scores are masked BEFORE selection, so excluded items can never
+    # surface); only the top-k selection itself is approximate.
+    recall_target = float(config.get("topk_recall_target", 0) or 0)
+    approx = 0.0 < recall_target < 1.0
 
     def scores_fn(p, batch, item_emb):
         from unirec_tpu.ops.topk import full_catalog_scores
@@ -66,7 +75,8 @@ def get_topk_recommendations(config, model, params, constants,
         if last_item > 0:  # held-out target stays competitive (reco_topk.py:81-85)
             masked = masked.at[rows, target].set(target_score)
         from unirec_tpu.ops.topk import fast_topk
-        return fast_topk(masked, topk)[1]
+        return fast_topk(masked, topk, exact=not approx,
+                         recall_target=recall_target or 0.95)[1]
 
     if traceable:
         topk_fn = jax.jit(topk_fn)
@@ -87,6 +97,7 @@ def get_topk_recommendations(config, model, params, constants,
         fused_flag = (jax.default_backend() == "tpu"
                       and item_emb.shape[0] >= 16384)
     fused = (traceable and last_item <= 0 and bool(int(fused_flag))
+             and not approx
              and (mesh is None or getattr(mesh, "n_model", 1) <= 1))
     if fused:
         from unirec_tpu.ops.topk import fused_catalog_topk
@@ -115,7 +126,7 @@ def get_topk_recommendations(config, model, params, constants,
     # row-sharded serving path: the catalog lives sharded over the 'model'
     # mesh axis; exact top-k merges k+C candidates per shard (ops/topk.py)
     sharded = (mesh is not None and getattr(mesh, "n_model", 1) > 1
-               and traceable and last_item <= 0)
+               and traceable and last_item <= 0 and not approx)
     if sharded:
         from unirec_tpu.ops.topk import masked_sharded_topk, place_item_table
         n_items_real = int(item_emb.shape[0])
