@@ -28,16 +28,22 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("XLA_FLAGS", "")
-if "host_platform_device_count" not in os.environ["XLA_FLAGS"]:
-    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+# Platform/device-count setup happens in __main__ only: this module is also
+# imported by tests (for collective_bytes), and mutating jax_platforms at
+# import time would silently move the whole pytest run off the conftest's
+# 8-device CPU mesh (e.g. onto the 1-chip axon TPU when JAX_PLATFORMS=axon
+# is exported in the shell).
+if __name__ == "__main__":
+    os.environ.setdefault("XLA_FLAGS", "")
+    if "host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+        os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-if os.environ.get("JAX_PLATFORMS"):
+if __name__ == "__main__" and os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # measured on the one real chip (bench.py, docs/performance_notes.md)
@@ -81,7 +87,17 @@ def collective_bytes(hlo_text: str) -> dict:
             # name (e.g. "(f32[50000,64], f32[128]) all-reduce(...)")
             m = re.search(rf"\b{kind}(-start)?\(", rhs)
             if m:
-                kinds[kind] += _shape_bytes(rhs[: m.start()])
+                ann = rhs[: m.start()].strip()
+                b = _shape_bytes(ann)
+                # async `-start` forms return a tuple that ALIASES the
+                # operand alongside the result ("(f32[1024], f32[1024])
+                # all-reduce-start"), so the tuple sums the payload twice;
+                # count only the result half. Sync tuple results (one
+                # all-reduce over several gradient tensors) are all real
+                # payload and count fully.
+                if m.group(1) and ann.startswith("("):
+                    b //= 2
+                kinds[kind] += b
                 counts[kind] += 1
                 break
     return {k: {"bytes": v, "ops": counts[k]} for k, v in kinds.items() if v}
@@ -186,20 +202,32 @@ def main():
         "grad_allreduce_bytes": ar,
         "per_chips": table,
     }
-    # cross-host case (the BASELINE.json 1->4 hosts target): the inter-host
-    # hop of the hierarchical all-reduce rides DCN. Assume 200 Gbps
-    # (25 GB/s) per host — the conservative public Cloud TPU figure.
+    # cross-host case (the BASELINE.json 1->4 hosts target): a hierarchical
+    # all-reduce is intra-host ICI reduce-scatter + inter-host DCN ring +
+    # intra-host ICI all-gather. Assume 200 Gbps (25 GB/s) DCN per host —
+    # the conservative public Cloud TPU figure — and charge BOTH phases
+    # (the ICI phases are not free even though DCN dominates).
     dcn_gbs = 25.0
+    chips_per_host = 8
+    t_ici = (2.0 * (chips_per_host - 1) / chips_per_host * ar
+             / (2 * ICI_GBS_PER_DIRECTION * 1e9))
     hosts = {}
     for h in (2, 4):
         t_dcn = 2.0 * (h - 1) / h * ar / (dcn_gbs * 1e9)
-        eff = t_compute / (t_compute + t_dcn)
-        hosts[h] = {"t_dcn_ms": round(1000 * t_dcn, 3),
+        eff = t_compute / (t_compute + t_ici + t_dcn)
+        hosts[h] = {"t_ici_ms": round(1000 * t_ici, 3),
+                    "t_dcn_ms": round(1000 * t_dcn, 3),
                     "efficiency": round(eff, 4)}
     report["weak_scaling_model"]["cross_host_dcn"] = {
         "assumptions": f"{dcn_gbs} GB/s DCN per host, hierarchical "
-                       "all-reduce (intra-host ICI reduce, inter-host DCN "
-                       "ring, intra-host broadcast)",
+                       "all-reduce (intra-host ICI reduce-scatter + "
+                       f"inter-host DCN ring + intra-host all-gather over "
+                       f"{chips_per_host} chips/host), no overlap; "
+                       "collective bytes come from a CPU-backend GSPMD "
+                       "compile at the SCALING_BATCH size while t_compute "
+                       "is the TPU bench measurement at batch 32768 — the "
+                       "grad payload is batch-independent so the mix is "
+                       "sound, but it is a modeled (not measured) number",
         "per_hosts": hosts,
     }
     json.dump(report, sys.stdout, indent=2)

@@ -16,6 +16,20 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_mesh():
+    """Fail loudly if anything imported at collection time flipped the
+    platform off the 8-device CPU mesh (e.g. a bench script applying a
+    shell JAX_PLATFORMS=axon override at import) — otherwise the whole
+    suite silently runs on the 1-chip TPU and mesh tests break."""
+    assert jax.default_backend() == "cpu", (
+        f"test suite must run on the virtual CPU mesh, got "
+        f"{jax.default_backend()!r} — some import mutated jax_platforms")
+    assert jax.device_count() == 8, (
+        f"expected 8 forced CPU devices, got {jax.device_count()}")
+    yield
+
+
 @pytest.fixture(scope="session")
 def synth_dataset(tmp_path_factory):
     from tests.synth import generate

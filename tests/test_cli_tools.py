@@ -130,10 +130,12 @@ def test_reco_topk_fused_matches_dense(trained_ckpt, tmp_path):
 
 def test_reco_topk_approx_mode(trained_ckpt, tmp_path):
     """--topk_recall_target switches the dense serving path to
-    lax.approx_max_k (the recall-tolerant production mode). The result must
-    keep the contract guarantees — no history/pad items can surface (masking
-    happens before selection) — and overlap the exact top-k at well above
-    the requested recall on this easy synthetic catalog."""
+    lax.approx_max_k (the recall-tolerant production mode). This proves the
+    ROUTING and the contract guarantees — shapes, and that no history/pad
+    items can surface (masking happens before selection). Note the CPU test
+    backend lowers approx_max_k to EXACT top-k, so the recall assertion is
+    only a smoke check here (trivially 1.0); the TPU-realized recall is
+    measured by bench/probe_approx_recall.py."""
     root, ckpt, _ = trained_ckpt
     id_file = os.path.join(str(tmp_path), "uids_a.txt")
     uids = np.arange(1, 41)

@@ -42,9 +42,17 @@ def test_collective_bytes_async_start_counted_once():
   %d = f32[1024] all-reduce-done(%s)
 """
     out = collective_bytes(hlo)
-    # -start counts; -done has no "all-reduce(" match and must not
+    # -start counts ONCE: its tuple result aliases the operand next to the
+    # result, so only the result half is payload. -done has no
+    # "all-reduce(" match and must not count.
     assert out["all-reduce"]["ops"] == 1
-    assert out["all-reduce"]["bytes"] == 2 * 1024 * 4
+    assert out["all-reduce"]["bytes"] == 1024 * 4
+
+
+def test_collective_bytes_sync_start_non_tuple_counted_fully():
+    hlo = "%s = f32[1024] all-reduce-start(%a), replica_groups={}"
+    out = collective_bytes(hlo)
+    assert out["all-reduce"]["bytes"] == 1024 * 4
 
 
 def test_non_collective_lines_ignored():

@@ -57,6 +57,17 @@ def get_topk_recommendations(config, model, params, constants,
     # surface); only the top-k selection itself is approximate.
     recall_target = float(config.get("topk_recall_target", 0) or 0)
     approx = 0.0 < recall_target < 1.0
+    if approx and last_item > 0:
+        # held-out-target evaluation re-inserts the target's score and then
+        # selects; an approximate selector could drop a target that IS in
+        # the true top-k, silently biasing the evaluation downward.
+        # topk_recall_target is a serving-only knob — force exact here.
+        import logging
+        logging.getLogger("unirec_tpu").warning(
+            "topk_recall_target ignored under last_item>0 (evaluation mode "
+            "requires exact selection so the re-inserted target cannot be "
+            "dropped by approx_max_k)")
+        approx = False
 
     def scores_fn(p, batch, item_emb):
         from unirec_tpu.ops.topk import full_catalog_scores

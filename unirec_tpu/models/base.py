@@ -166,6 +166,14 @@ class BaseRecommender(nn.Module):
         return x if self.compute_dtype is None else x.astype(self.compute_dtype)
 
     def _masked_gather(self, emb: nn.Embed, ids: jnp.ndarray) -> jnp.ndarray:
+        if self.cfg.get("scan_embedding_grad"):
+            # scatter-FREE backward (ops/embedding.py::gather_scan): sort +
+            # MXU blocked-cumsum + boundary gathers. XLA's scatter combine
+            # is row-serial (~15 ns/row); this path is data-parallel and
+            # accumulates in f32.
+            from unirec_tpu.ops.embedding import gather_scan
+            return gather_scan(emb.embedding, ids,
+                               self.compute_dtype) * (ids != 0)[..., None]
         if self.cfg.get("sorted_embedding_grad"):
             # sort-based backward scatter (ops/embedding.py) — the plain
             # gather's unsorted scatter-add grad is ~10x over its roofline

@@ -115,3 +115,91 @@ def _gather_cast_bwd(compute_dtype, res, g):
 
 
 gather_cast.defvjp(_gather_cast_fwd, _gather_cast_bwd)
+
+
+def segment_sum_scan(ids: jnp.ndarray, g: jnp.ndarray, n_rows: int,
+                     chunk: int = 256) -> jnp.ndarray:
+    """Scatter-FREE segment sum of gradient rows: ``out[i] = sum of g rows
+    whose id == i`` computed entirely with sort + matmul + gathers.
+
+    Why: XLA's TPU scatter-add processes update rows one dynamic-update-
+    slice at a time (~15 ns/row measured); at the bench step's 1.6M rows
+    that is ~24 ms — 20% of the whole train step and ~90x its memory
+    roofline. Every scatter-shaped reformulation (sorted ids, k-slot
+    expansion, f32 rows) stays on that serial path. This routine removes
+    the scatter:
+
+      1. sort rows by id (XLA's 1-D key/index sort: ~1.7 ms at 1.6M),
+      2. inclusive cumsum of the sorted rows — blocked: within each
+         ``chunk`` rows as a lower-triangular matmul on the MXU
+         (scan-as-matmul), across chunks as a tiny [M/chunk, D] cumsum,
+      3. per id, segment sum = cum[last_occurrence] - cum[first-1] via
+         two gathers at searchsorted boundaries.
+
+    Everything is data-parallel; the MXU does the combine. Accumulation is
+    f32 regardless of ``g``'s dtype (the matmul accumulator), which is
+    strictly better numerics than a bf16 scatter's 2-byte read-modify-write
+    chain. Output is f32 [n_rows, D].
+    """
+    m, d = g.shape
+    ids = ids.astype(jnp.int32)
+    pad = (-m) % chunk
+    if pad:
+        # sentinel id n_rows sorts after every real id; zero rows
+        ids = jnp.concatenate([ids, jnp.full((pad,), n_rows, jnp.int32)])
+        g = jnp.concatenate([g, jnp.zeros((pad, d), g.dtype)])
+    M = ids.shape[0]
+    sids, order = jax.lax.sort_key_val(ids, jnp.arange(M, dtype=jnp.int32))
+    sg = jnp.take(g, order, axis=0)
+
+    nc = M // chunk
+    lt = jnp.tril(jnp.ones((chunk, chunk), sg.dtype))
+    # [nc, chunk, d] inclusive cumsum within each chunk, f32 accumulate.
+    # bf16 rows: one MXU pass is exact (0/1 multiplier, f32 accumulator) —
+    # the same additions a bf16 scatter would do, but f32-accumulated.
+    # f32 rows: force HIGHEST so the TPU's single bf16 pass doesn't round
+    # the inputs to 8 mantissa bits.
+    prec = (jax.lax.Precision.HIGHEST
+            if sg.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    intra = jnp.einsum("ij,cjd->cid", lt, sg.reshape(nc, chunk, d),
+                       preferred_element_type=jnp.float32, precision=prec)
+    totals = intra[:, -1, :]                        # [nc, d]
+    prefix = jnp.cumsum(totals, axis=0) - totals    # exclusive chunk prefix
+    cum = (intra + prefix[:, None, :]).reshape(M, d)
+
+    all_ids = jnp.arange(n_rows, dtype=jnp.int32)
+    right = jnp.searchsorted(sids, all_ids, side="right")
+    left = jnp.searchsorted(sids, all_ids, side="left")
+    has = (right > left)[:, None]
+    last = jnp.take(cum, jnp.maximum(right - 1, 0), axis=0)
+    prev = jnp.where((left > 0)[:, None],
+                     jnp.take(cum, jnp.maximum(left - 1, 0), axis=0), 0.0)
+    return jnp.where(has, last - prev, 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_scan(table: jnp.ndarray, ids: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+    """Gather from a cast-to-compute-dtype table whose backward builds the
+    table gradient with ``segment_sum_scan`` — no scatter anywhere.
+
+    Forward numerics identical to ``nn.Embed(dtype=compute_dtype)``
+    (cast the table, then gather). Backward numerics: the same row sums,
+    accumulated in f32 on the MXU instead of serial bf16 read-modify-write
+    (equal or better). Gated by config ``scan_embedding_grad``.
+    """
+    t = table if compute_dtype is None else table.astype(compute_dtype)
+    return t[ids]
+
+
+def _gather_scan_fwd(table, ids, compute_dtype):
+    return gather_scan(table, ids, compute_dtype), (ids, table)
+
+
+def _gather_scan_bwd(compute_dtype, res, g):
+    ids, table = res
+    (n, d), dtype = table.shape, table.dtype
+    dtable = segment_sum_scan(ids.reshape(-1), g.reshape(-1, d), n)
+    return dtable.astype(dtype), None
+
+
+gather_scan.defvjp(_gather_scan_fwd, _gather_scan_bwd)
