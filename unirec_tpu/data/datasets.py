@@ -51,9 +51,71 @@ class BaseDataset:
         self.task = config.get("data_loader_task", "train")
         self.eval_protocol = config.get("eval_protocol")
         fmt = config["data_format"]
-        df = file_io.load_table(os.path.join(path, filename))
         self.fmt = fmt
-        self._normalize(df)
+        # packed fast path: the native parser hands flat+lengths arrays, so
+        # padding/sequence-expansion below stays fully vectorized (no
+        # per-row Python). Falls back to the DataFrame path for binary
+        # files and anything the native parser declines.
+        packed = file_io.load_table_packed(os.path.join(path, filename))
+        if packed is not None:
+            self._normalize_packed(packed)
+        else:
+            self._normalize(file_io.load_table(os.path.join(path, filename)))
+
+    # ------------------------------------------------------------------
+    def _normalize_packed(self, packed):
+        from unirec_tpu.utils.fastio import pad_packed
+        fmt = self.fmt
+        sc, ls = packed["scalars"], packed["lists"]
+        cols: Dict[str, np.ndarray] = {}
+
+        if fmt in (DataFormat.T5.value, DataFormat.T6.value):
+            flat, lens = ls["item_seq"]
+            if self.task == "train" or self.eval_protocol == EvalProtocol.ONE_VS_K.value:
+                # expand to per-interaction rows — vectorized repeat
+                cols["user_id"] = np.repeat(sc["user_id"], lens).astype(np.int64)
+                cols["item_id"] = flat.astype(np.int64)
+                self.fmt = DataFormat.T1.value
+            else:
+                cols["user_id"] = sc["user_id"].astype(np.int64)
+                cols["item_id"] = pad_packed(flat, lens, np.int64)
+                if fmt == DataFormat.T6.value and "time_seq" in ls:
+                    tf, tl = ls["time_seq"]
+                    cols["time_seq_raw"] = pad_packed(tf, tl, np.int64)
+        elif fmt == DataFormat.T7.value:
+            cols["label"] = sc["label"].astype(np.float32)
+            fi, li = ls["index_list"]
+            fv, lv = ls["value_list"]
+            cols["index_list"] = pad_packed(fi, li, np.int64)
+            cols["value_list"] = pad_packed(fv, lv, np.float32)
+            cols["feat_len"] = li.astype(np.int32)
+        elif fmt == DataFormat.T4.value:
+            cols["user_id"] = sc["user_id"].astype(np.int64)
+            fi, li = ls["item_id_list"]
+            fl, ll = ls["label_list"]
+            cols["item_id"] = pad_packed(fi, li, np.int64)
+            cols["label"] = pad_packed(fl.astype(np.float32), ll, np.float32)
+        else:
+            cols["user_id"] = sc["user_id"].astype(np.int64)
+            cols["item_id"] = sc["item_id"].astype(np.int64)
+            if fmt in (DataFormat.T2.value, DataFormat.T2_1.value) and "label" in sc:
+                cols["label"] = sc["label"].astype(np.float32)
+            if fmt == DataFormat.T2_1.value and "session_id" in sc:
+                cols["session_id"] = sc["session_id"].astype(np.int64)
+            if fmt == DataFormat.T3.value and "rating" in sc:
+                cols["rating"] = sc["rating"].astype(np.float32)
+            if fmt == DataFormat.T1_1.value and "max_len" in sc:
+                cols["max_len"] = sc["max_len"].astype(np.int64)
+
+        # label filtering for eval protocols (basedataset.py:48-54)
+        if self.eval_protocol in (EvalProtocol.ONE_VS_ALL.value, EvalProtocol.ONE_VS_K.value) \
+                and "label" in cols and cols["label"].ndim == 1 \
+                and self.fmt in (DataFormat.T2.value, DataFormat.T2_1.value):
+            keep = cols["label"] > 0
+            cols = {k: v[keep] for k, v in cols.items()}
+
+        self.cols = cols
+        self.n_rows = next(iter(cols.values())).shape[0] if cols else 0
 
     # ------------------------------------------------------------------
     def _normalize(self, df):

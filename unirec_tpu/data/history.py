@@ -38,6 +38,68 @@ class UserHistory:
 
     # ------------------------------------------------------------------ build
     @staticmethod
+    def load(path_prefix: str, n_users: int, fmt: str, capacity: int = -1,
+             with_time: bool = False) -> "UserHistory":
+        """Load from ``<prefix>.{ftr,pkl,tsv,csv,txt}``: tries the native
+        packed parser (fully vectorized build, no per-row Python), falls
+        back to load_table + from_dataframe."""
+        from unirec_tpu.utils import file_io
+        if fmt in (DataFormat.T5.value, DataFormat.T6.value,
+                   DataFormat.T5_1.value):
+            packed = file_io.load_table_packed(path_prefix)
+            if packed is not None:
+                return UserHistory.from_packed(packed, n_users, fmt,
+                                               capacity=capacity,
+                                               with_time=with_time)
+        return UserHistory.from_dataframe(
+            file_io.load_table(path_prefix), n_users, fmt,
+            capacity=capacity, with_time=with_time)
+
+    @staticmethod
+    def from_packed(packed, n_users: int, fmt: str, capacity: int = -1,
+                    with_time: bool = False) -> "UserHistory":
+        """Vectorized build from the native parser's packed columns
+        (T5/T6 item_seq tables). Same semantics as from_dataframe: keep
+        the LAST ``max_len`` items per user; duplicate user rows — later
+        row wins."""
+        uids = packed["scalars"]["user_id"].astype(np.int64)
+        flat, lens = packed["lists"]["item_seq"]
+        ok = (uids >= 0) & (uids < n_users)
+        max_len = int(lens[ok].max()) if ok.any() else 1
+        if capacity is not None and capacity > 0:
+            max_len = min(max_len, capacity)
+        max_len = max(max_len, 1)
+
+        offsets = np.concatenate([[0], np.cumsum(lens[:-1])]) if len(lens) \
+            else np.zeros(0, np.int64)
+        keep = np.minimum(lens, max_len)
+        start = lens - keep
+        j = np.arange(max_len)
+        valid = j[None, :] < keep[:, None]
+        src = offsets[:, None] + start[:, None] + j[None, :]
+        rows = np.zeros((len(uids), max_len), np.int64)
+        rows[valid] = flat[src[valid]]
+
+        items = np.zeros((n_users, max_len), dtype=np.int32)
+        lengths = np.zeros(n_users, dtype=np.int32)
+        items[uids[ok]] = rows[ok]
+        lengths[uids[ok]] = keep[ok]
+        times = None
+        if with_time:
+            times = np.zeros_like(items)
+            if fmt == DataFormat.T6.value and "time_seq" in packed["lists"]:
+                tf, tl = packed["lists"]["time_seq"]
+                toff = np.concatenate([[0], np.cumsum(tl[:-1])]) if len(tl) \
+                    else np.zeros(0, np.int64)
+                tkeep = np.minimum(tl, max_len)
+                tvalid = j[None, :] < tkeep[:, None]
+                tsrc = toff[:, None] + (tl - tkeep)[:, None] + j[None, :]
+                trows = np.zeros((len(uids), max_len), np.int64)
+                trows[tvalid] = tf[tsrc[tvalid]]
+                times[uids[ok]] = trows[ok]
+        return UserHistory(items, lengths, times)
+
+    @staticmethod
     def from_dataframe(df: pd.DataFrame, n_users: int, fmt: str,
                        capacity: int = -1, with_time: bool = False) -> "UserHistory":
         """Build from a T1/T3 (grouped) or T5/T6 (item_seq column) table

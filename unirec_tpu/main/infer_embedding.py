@@ -122,8 +122,8 @@ def run(args: Optional[Dict] = None) -> Tuple[np.ndarray, np.ndarray]:
         fname = config.get("user_history_filename", "user_history")
         fmt = config.get("user_history_file_format",
                          config.get("train_file_format"))
-        df = file_io.load_table(os.path.join(dpath, fname))
-        history = UserHistory.from_dataframe(df, int(config["n_users"]), fmt)
+        history = UserHistory.load(os.path.join(dpath, fname),
+                                   int(config["n_users"]), fmt)
 
     features = None
     if config.get("use_features") and config.get("features_filepath"):

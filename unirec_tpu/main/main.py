@@ -48,9 +48,8 @@ def load_user_history(config) -> Optional[UserHistory]:
     path = config["dataset_path"]
     fname = config.get("user_history_filename", "train")
     fmt = config.get("user_history_file_format", config.get("train_file_format"))
-    df = file_io.load_table(os.path.join(path, fname))
-    return UserHistory.from_dataframe(
-        df, int(config["n_users"]), fmt,
+    return UserHistory.load(
+        os.path.join(path, fname), int(config["n_users"]), fmt,
         capacity=int(config.get("user_history_capacity", -1) or -1),
         with_time=bool(config.get("time_seq", 0)))
 

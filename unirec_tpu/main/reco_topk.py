@@ -226,8 +226,8 @@ def do_topk_reco(config: Dict) -> np.ndarray:
 
     fname = config.get("user_history_filename", "user_history")
     fmt = config.get("user_history_file_format", config.get("train_file_format"))
-    df = file_io.load_table(os.path.join(dpath, fname))
-    history = UserHistory.from_dataframe(df, int(config["n_users"]), fmt)
+    history = UserHistory.load(os.path.join(dpath, fname),
+                               int(config["n_users"]), fmt)
 
     from unirec_tpu.core.mesh import create_mesh
     mesh = create_mesh(config)

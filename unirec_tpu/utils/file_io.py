@@ -36,7 +36,18 @@ def _parse_list(cell: Any, dtype) -> np.ndarray:
 
 
 def load_txt_table(path: str) -> pd.DataFrame:
-    """Load a headered tsv/csv table, parsing list columns."""
+    """Load a headered tsv/csv table, parsing list columns.
+
+    Tries the native C++ parser first (utils/fastio.py — packed two-pass
+    parse, ~2 orders of magnitude over the per-cell Python path on
+    list-heavy tables); falls back to pandas + ast for anything the native
+    parser doesn't cover (bracket lists, string columns, missing cells).
+    Disable with UNIREC_FASTIO=0. Both paths produce identical frames
+    (tests/test_fastio.py)."""
+    from unirec_tpu.utils.fastio import load_txt_table_native
+    native = load_txt_table_native(path, _LIST_INT_COLS, _LIST_FLOAT_COLS)
+    if native is not None:
+        return native
     sep = "\t" if path.endswith((".tsv", ".txt")) else ","
     df = pd.read_csv(path, sep=sep)
     for col in df.columns:
@@ -56,6 +67,23 @@ def save_pkl(obj, path: str):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump(obj, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_table_packed(path_prefix: str):
+    """Packed-array load of a TEXT table (``<prefix>.{tsv,csv,txt}``) via
+    the native parser: {"scalars": {col: np[N]}, "lists": {col: (flat,
+    lens)}}. Returns None for binary formats (ftr/pkl are already fast) or
+    when the native parser declines — callers fall back to load_table."""
+    from unirec_tpu.utils.fastio import load_txt_table_packed
+    for ext in (".tsv", ".csv", ".txt"):
+        if os.path.exists(path_prefix + ext):
+            return load_txt_table_packed(path_prefix + ext,
+                                         _LIST_INT_COLS, _LIST_FLOAT_COLS)
+    if os.path.exists(path_prefix) and path_prefix.endswith(
+            (".tsv", ".csv", ".txt")):
+        return load_txt_table_packed(path_prefix,
+                                     _LIST_INT_COLS, _LIST_FLOAT_COLS)
+    return None
 
 
 def load_table(path_prefix: str) -> pd.DataFrame:
