@@ -115,6 +115,12 @@ VARIANTS = {
     "lastq+ffn": {"use_pallas": 0, "compute_dtype": "bfloat16",
                   "dropout_rng_impl": "rbg", "dropout_bits": 8,
                   "last_query_only": 1, "use_fused_ffn": 1},
+    # round-3: negative-rejection membership as binary search over sorted
+    # histories (default ON) vs the [B, K, C] broadcast compare
+    "lastq+cmpmem": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                     "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                     "last_query_only": 1,
+                     "neg_membership_binary_search": 0},
     # round-3: scatter-FREE embedding grads (ops/embedding.py::gather_scan)
     # — sort + MXU blocked-cumsum + boundary gathers replace XLA's
     # row-serial scatter combine (24 ms of the 124 ms step in the r3 trace)

@@ -201,3 +201,40 @@ def test_e2e_multivae_device_pipeline(synth_dataset, tmp_path):
                 output_path=os.path.join(str(tmp_path), "dpvae"))
     result = main.run(conf)
     assert result["hit@5"] > 2 * 5.0 / 300.0, result
+
+
+def test_membership_binary_search_matches_compare():
+    """The opt-in binary-search membership (neg_membership_binary_search)
+    must agree exactly with the default broadcast compare, and the full
+    augment must be identical under the same PRNG key."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from unirec_tpu.data.device_pipeline import DeviceAugmenter
+    from unirec_tpu.data.history import UserHistory
+
+    rng = np.random.default_rng(0)
+    U, C, NI = 300, 37, 500
+    lens = rng.integers(0, C, U).astype(np.int32)
+    items = np.zeros((U, C), np.int32)
+    m = np.arange(C)[None, :] < lens[:, None]
+    items[m] = rng.integers(1, NI, int(m.sum()))
+    hist = UserHistory(items, lens)
+    cfg = {"n_items": NI, "n_sample_neg_train": 5, "max_seq_len": 10,
+           "dataloader": "SeqRecDataset",
+           "history_mask_mode": "autoregressive"}
+    aug_bin = DeviceAugmenter(dict(cfg, neg_membership_binary_search=1), hist)
+    aug_cmp = DeviceAugmenter(dict(cfg, neg_membership_binary_search=0), hist)
+    assert "hist_sorted" in aug_bin.state
+    assert "hist_sorted" not in aug_cmp.state
+
+    B = 128
+    uid = rng.integers(0, U, B).astype(np.int32)
+    batch = {"user_id": jnp.asarray(uid),
+             "item_id": jnp.asarray(rng.integers(1, NI, B).astype(np.int32)),
+             "weight": jnp.ones(B, jnp.float32)}
+    key = jax.random.PRNGKey(3)
+    fa = aug_bin.augment(aug_bin.with_state(dict(batch)), key)
+    fb = aug_cmp.augment(aug_cmp.with_state(dict(batch)), key)
+    for k in fb:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))
