@@ -977,3 +977,78 @@ def test_sasrec_fused_ffn_matches_full():
     assert np.isfinite(float(loss))
     g = grads["trm_encoder"]["layer_0"]["feed_forward"]["dense_1"]["kernel"]
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_fused_catalog_topk_int8_exact_on_quantized_scores():
+    """The int8 catalog path (quantize_catalog + fused_catalog_topk with
+    item_scale) must return exactly lax.top_k of the DEQUANTIZED dense
+    scores — i.e. the selection is exact with respect to the quantized
+    catalog; only the quantization itself is approximate. Runs the Pallas
+    kernel in interpret mode on CPU, including the masked/history cases
+    and the dense small-N fallback."""
+    from unirec_tpu.ops.topk import fused_catalog_topk, quantize_catalog
+
+    rng = np.random.default_rng(11)
+    B, N, D, K = 8, 4099, 16, 10
+    users = jnp.asarray(rng.normal(size=(B, D)), jnp.bfloat16)
+    items = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    q, scale = quantize_catalog(items)
+    assert q.dtype == jnp.int8 and scale.shape == (N,)
+
+    deq = q.astype(jnp.float32) * scale[:, None]
+    dense = jax.lax.dot_general(users.astype(jnp.float32), deq,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    v, i = fused_catalog_topk(users, q, K, item_block=256, interpret=True,
+                              item_scale=scale)
+    vr, ir = jax.lax.top_k(dense, K)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vr),
+                               rtol=2e-2, atol=2e-3)
+
+    # quantization error is bounded: per-element |deq - orig| <= scale/2
+    err = np.abs(np.asarray(deq) - np.asarray(items))
+    assert (err <= np.asarray(scale)[:, None] * 0.5 + 1e-6).all()
+
+    # history exclusion still guarantees no banned item surfaces
+    hist = jnp.asarray(rng.integers(1, N, size=(B, 7)).astype(np.int32))
+    hlen = jnp.full((B,), 7, jnp.int32)
+    _, ih = fused_catalog_topk(users, q, K, item_block=256, interpret=True,
+                               item_scale=scale, hist_items=hist,
+                               hist_len=hlen, exclude_pad_item=True)
+    ih = np.asarray(ih)
+    for b in range(B):
+        assert not (set(ih[b].tolist()) & set(np.asarray(hist[b]).tolist()))
+        assert 0 not in ih[b]
+
+    # small-N dense fallback with quantization
+    v3, i3 = fused_catalog_topk(users, q[:200], K, interpret=True,
+                                item_scale=scale[:200])
+    vr3, ir3 = jax.lax.top_k(dense[:, :200], K)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(ir3))
+
+
+def test_int8_catalog_ranking_recall_on_structured_factors():
+    """Sanity: on low-rank structured factors (the trained-model score
+    shape), int8 per-row quantization keeps top-k ranking recall high vs
+    the full-precision catalog. The TPU-shape measurement lives in
+    bench/probe_int8_recall.py; this pins the mechanism at test scale."""
+    from unirec_tpu.ops.topk import fused_catalog_topk, quantize_catalog
+
+    rng = np.random.default_rng(5)
+    B, N, D, K, P = 16, 8192, 32, 20, 8
+    proto = rng.normal(size=(P, D))
+    users = jnp.asarray(proto[rng.integers(0, P, B)]
+                        + 0.5 * rng.normal(size=(B, D)), jnp.float32)
+    items = jnp.asarray(proto[rng.integers(0, P, N)]
+                        + 0.5 * rng.normal(size=(N, D)), jnp.float32)
+    q, scale = quantize_catalog(items)
+    _, exact = jax.lax.top_k(
+        jax.lax.dot_general(users, items, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32), K)
+    _, approx = fused_catalog_topk(users, q, K, item_block=256,
+                                   interpret=True, item_scale=scale)
+    recalls = [len(set(np.asarray(approx[b]).tolist())
+                   & set(np.asarray(exact[b]).tolist())) / K
+               for b in range(B)]
+    assert np.mean(recalls) >= 0.9, recalls

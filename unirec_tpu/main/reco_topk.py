@@ -111,7 +111,7 @@ def get_topk_recommendations(config, model, params, constants,
              and not approx
              and (mesh is None or getattr(mesh, "n_model", 1) <= 1))
     if fused:
-        from unirec_tpu.ops.topk import fused_catalog_topk
+        from unirec_tpu.ops.topk import fused_catalog_topk, quantize_catalog
         _, item_bias = model.apply(variables(params), method="bias_terms")
         if item_bias is not None:
             item_aug = jnp.concatenate(
@@ -119,8 +119,16 @@ def get_topk_recommendations(config, model, params, constants,
                  jnp.asarray(item_bias)[:, None].astype(item_emb.dtype)], 1)
         else:
             item_aug = jnp.asarray(item_emb)
+        # --catalog_int8 1: per-row symmetric int8 catalog — halves the
+        # serving read vs bf16 and doubles the items-per-chip capacity;
+        # scores (incl. the folded bias column) are approximate with
+        # measured ranking recall (bench/probe_int8_recall.py).
+        item_scale = None
+        if int(config.get("catalog_int8", 0) or 0):
+            item_aug, item_scale = quantize_catalog(item_aug)
 
-        def fused_topk_fn(p, batch, item_aug, hist_items, hist_len):
+        def fused_topk_fn(p, batch, item_aug, hist_items, hist_len,
+                          item_scale=None):
             user_emb = model.apply(variables(p), batch, method="user_emb")
             if item_bias is not None:
                 user_emb = jnp.concatenate(
@@ -129,7 +137,8 @@ def get_topk_recommendations(config, model, params, constants,
             _, ids = fused_catalog_topk(user_emb, item_aug, topk,
                                         hist_items=hist_items,
                                         hist_len=hist_len,
-                                        exclude_pad_item=True)
+                                        exclude_pad_item=True,
+                                        item_scale=item_scale)
             return ids
 
         fused_topk_fn = jax.jit(fused_topk_fn)
@@ -196,7 +205,8 @@ def get_topk_recommendations(config, model, params, constants,
         elif fused:
             ids = np.asarray(fused_topk_fn(params, jb, item_aug,
                                            jnp.asarray(hist_items),
-                                           jnp.asarray(hist_len)))[:n_real]
+                                           jnp.asarray(hist_len),
+                                           item_scale=item_scale))[:n_real]
             out_rows.append(ids)
         else:
             ids = np.asarray(topk_fn(params, jb, item_emb,

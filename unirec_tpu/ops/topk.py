@@ -190,6 +190,23 @@ def fast_topk(x: jnp.ndarray, k: int, chunk: int = 32,
     return v, ids
 
 
+def quantize_catalog(item_emb: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row symmetric int8 quantization of an item-factor table:
+    ``q[i] = round(e[i] / scale[i])`` with ``scale[i] = max|e[i]| / 127``.
+
+    Halves (vs bf16) or quarters (vs f32) the catalog's HBM footprint and
+    its serving-path read — 2M items x d=64 fit where 1M bf16 did. Scores
+    computed from (q, scale) are approximate; the fused top-k over them is
+    exact w.r.t. the QUANTIZED scores, and the realized ranking recall vs
+    full precision is measured in bench/probe_int8_recall.py."""
+    item_emb = item_emb.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(item_emb), axis=1) / 127.0
+    scale = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(item_emb / scale[:, None]), -127, 127)
+    return q.astype(jnp.int8), scale.astype(jnp.float32)
+
+
 def _blockmax_kernel(u_ref, it_ref, bm_ref, *, ch):
     # scores TRANSPOSED ([items, users]) so the ch-item group max is a
     # sublane reduction — the [IB, UB] -> [IB/ch, ch, UB] reshape is a free
@@ -199,9 +216,23 @@ def _blockmax_kernel(u_ref, it_ref, bm_ref, *, ch):
     bm_ref[:] = s.reshape(s.shape[0] // ch, ch, s.shape[1]).max(axis=1)
 
 
+def _blockmax_kernel_q(u_ref, it_ref, sc_ref, bm_ref, *, ch):
+    # int8 items dequantize in VMEM: the HBM read is 1 byte/element. The
+    # int8->bf16 convert is exact and bf16 x bf16 products of 8-bit
+    # mantissas accumulate exactly in f32, so these scores equal the XLA
+    # dequantized-dense scores bit for bit.
+    it = it_ref[:].astype(jnp.bfloat16)
+    s = jax.lax.dot_general(it, u_ref[:], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * sc_ref[:]                       # [IB, 1] per-item scales
+    bm_ref[:] = s.reshape(s.shape[0] // ch, ch, s.shape[1]).max(axis=1)
+
+
 def catalog_blockmax(user_emb: jnp.ndarray, item_emb_padded: jnp.ndarray,
                      chunk: int, item_block: int,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     item_scale_padded: Optional[jnp.ndarray] = None
+                     ) -> jnp.ndarray:
     """Per-``chunk``-item-block score maxima, [B, N/chunk], WITHOUT ever
     writing the [B, N] score matrix to HBM (a Pallas kernel keeps each
     [item_block, B] score tile in VMEM and reduces it there). The score
@@ -223,15 +254,23 @@ def catalog_blockmax(user_emb: jnp.ndarray, item_emb_padded: jnp.ndarray,
             [user_emb, jnp.zeros((b_pad - b, d), user_emb.dtype)])
     nj = n_pad // item_block
     nu = b_pad // ub
+    quantized = item_scale_padded is not None
+    kernel = _blockmax_kernel_q if quantized else _blockmax_kernel
+    in_specs = [
+        pl.BlockSpec((ub, d), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((item_block, d), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [user_emb, item_emb_padded]
+    if quantized:
+        in_specs.append(pl.BlockSpec((item_block, 1), lambda i, j: (j, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(item_scale_padded.reshape(n_pad, 1))
     bmT = pl.pallas_call(
-        functools.partial(_blockmax_kernel, ch=chunk),
+        functools.partial(kernel, ch=chunk),
         grid=(nu, nj),
-        in_specs=[
-            pl.BlockSpec((ub, d), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((item_block, d), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((item_block // chunk, ub),
                                lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
@@ -244,7 +283,7 @@ def catalog_blockmax(user_emb: jnp.ndarray, item_emb_padded: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(user_emb, item_emb_padded)
+    )(*operands)
     return bmT.T[:b]
 
 
@@ -256,7 +295,8 @@ def fused_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray, k: int,
                        exclude_pad_item: bool = False,
                        invalid_from: Optional[jnp.ndarray] = None,
                        max_invalid: int = 0,
-                       interpret: Optional[bool] = None
+                       interpret: Optional[bool] = None,
+                       item_scale: Optional[jnp.ndarray] = None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact single-chip top-k directly from the factors (user_emb [B, D],
     item_emb [N, D]) — the [B, N] score matrix never touches HBM.
@@ -318,23 +358,45 @@ def fused_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray, k: int,
             sc = jnp.where(banned, -jnp.inf, sc)
         return sc
 
+    quantized = item_scale is not None
+    if quantized:
+        assert item_emb.dtype == jnp.int8, "item_scale requires int8 items"
+
     if kp >= nb_real or N <= 4 * k * chunk:   # dense fallback at small N
-        sc = jax.lax.dot_general(user_emb, item_emb, (((1,), (1,)), ((), ())),
+        ie = item_emb.astype(jnp.bfloat16) if quantized else item_emb
+        sc = jax.lax.dot_general(user_emb, ie, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if quantized:
+            sc = sc * item_scale[None, :]
         iid = jnp.broadcast_to(jnp.arange(N)[None, :], sc.shape)
         return fast_topk(_mask_candidates(sc, iid), k, chunk=chunk)
 
     n_pad = -(-N // item_block) * item_block
+    scale_pad = None
     if n_pad != N:
         item_emb = jnp.concatenate(
             [item_emb, jnp.zeros((n_pad - N, D), item_emb.dtype)])
-    bm = catalog_blockmax(user_emb, item_emb, chunk, item_block, interpret)
+    if quantized:
+        scale_pad = item_scale if n_pad == N else jnp.concatenate(
+            [item_scale, jnp.zeros(n_pad - N, item_scale.dtype)])
+    bm = catalog_blockmax(user_emb, item_emb, chunk, item_block, interpret,
+                          item_scale_padded=scale_pad)
     bm = jnp.where(jnp.arange(bm.shape[1])[None, :] < nb_real, bm, -jnp.inf)
     _, blk = fast_topk(bm, kp)                          # [B, kp] winning blocks
     it3 = item_emb.reshape(n_pad // chunk, chunk, D)
     cand = it3[blk]                                     # [B, kp, chunk, D] slabs
-    sc = jnp.einsum("bd,bkcd->bkc", user_emb, cand,
-                    preferred_element_type=jnp.float32).reshape(B, kp * chunk)
+    if quantized:
+        # pass-2 re-scores from the same quantized rows, so selection and
+        # final scores are consistent (exact top-k of the quantized scores)
+        csc = scale_pad.reshape(n_pad // chunk, chunk)[blk]   # [B, kp, chunk]
+        sc = jnp.einsum("bd,bkcd->bkc", user_emb,
+                        cand.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        sc = (sc * csc).reshape(B, kp * chunk)
+    else:
+        sc = jnp.einsum("bd,bkcd->bkc", user_emb, cand,
+                        preferred_element_type=jnp.float32
+                        ).reshape(B, kp * chunk)
     iid = (blk[..., None] * chunk
            + jnp.arange(chunk)).reshape(B, kp * chunk)
     v, ci = jax.lax.top_k(_mask_candidates(sc, iid), k)
