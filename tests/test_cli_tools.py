@@ -210,3 +210,22 @@ def test_reco_topk_int8_catalog(trained_ckpt, tmp_path):
         assert not (set(quant[i].tolist()) & seen)  # history excluded
         recalls.append(len(set(quant[i]) & set(exact[i])) / len(exact[i]))
     assert np.mean(recalls) >= 0.85, np.mean(recalls)
+
+
+def test_reco_topk_sharded_int8(trained_ckpt, tmp_path):
+    """int8 catalogs compose with the row-sharded serving path: each shard
+    holds its int8 slice + scale; results match the single-device int8
+    path exactly (same quantized scores, same selection)."""
+    root, ckpt, _ = trained_ckpt
+    id_file = os.path.join(str(tmp_path), "uids_sq.txt")
+    np.savetxt(id_file, np.arange(1, 41), fmt="%i")
+    base = {"model_file": ckpt, "dataset_path": root, "dataset_name": id_file,
+            "user_history_filename": "user_history", "topk": 10,
+            "catalog_int8": 1}
+    single = reco_topk.do_topk_reco(
+        dict(base, use_fused_topk=1, mesh_data=1, mesh_model=1,
+             output_path=os.path.join(str(tmp_path), "sq1.csv")))
+    sharded = reco_topk.do_topk_reco(
+        dict(base, mesh_data=1, mesh_model=8,
+             output_path=os.path.join(str(tmp_path), "sq8.csv")))
+    np.testing.assert_array_equal(single, sharded)

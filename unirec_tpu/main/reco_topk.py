@@ -148,9 +148,23 @@ def get_topk_recommendations(config, model, params, constants,
     sharded = (mesh is not None and getattr(mesh, "n_model", 1) > 1
                and traceable and last_item <= 0 and not approx)
     if sharded:
-        from unirec_tpu.ops.topk import masked_sharded_topk, place_item_table
+        from unirec_tpu.ops.topk import (masked_sharded_topk,
+                                         place_item_table, quantize_catalog)
+        from jax.sharding import NamedSharding, PartitionSpec
         n_items_real = int(item_emb.shape[0])
-        item_table, n_pad = place_item_table(jnp.asarray(item_emb), mesh.mesh)
+        item_full = jnp.asarray(item_emb)
+        scale_sharded = None
+        if int(config.get("catalog_int8", 0) or 0):
+            # per-shard int8: half the catalog footprint per chip
+            item_full, scale = quantize_catalog(item_full)
+            item_table, n_pad = place_item_table(item_full, mesh.mesh)
+            scale_padded = jnp.concatenate(
+                [scale, jnp.zeros(n_pad - n_items_real, scale.dtype)])
+            scale_sharded = jax.device_put(
+                scale_padded, NamedSharding(mesh.mesh,
+                                            PartitionSpec("model")))
+        else:
+            item_table, n_pad = place_item_table(item_full, mesh.mesh)
         _, ib = model.apply(variables(params), method="bias_terms")
         bias = None
         if ib is not None:
@@ -164,7 +178,8 @@ def get_topk_recommendations(config, model, params, constants,
             _, ids = masked_sharded_topk(user_emb, item_table,
                                          hist_items, hist_len, topk,
                                          mesh.mesh, item_bias=bias,
-                                         n_real=n_items_real)
+                                         n_real=n_items_real,
+                                         item_scale=scale_sharded)
             return ids
 
         sharded_topk_fn = jax.jit(sharded_topk_fn)

@@ -40,14 +40,17 @@ def sharded_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray,
                          k: int, mesh: Mesh,
                          item_bias: Optional[jnp.ndarray] = None,
                          axis: str = "model",
-                         n_real: Optional[int] = None
+                         n_real: Optional[int] = None,
+                         item_scale: Optional[jnp.ndarray] = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(values [B, k], global item ids [B, k]) for row-sharded item_emb.
 
     user_emb: [B, D] (replicated); item_emb: [N, D] sharded over ``axis``.
     N must be divisible by the axis size; pass ``n_real`` (the unpadded item
     count from ``place_item_table``) so zero-padded rows are masked to -inf
-    and can never outrank real items.
+    and can never outrank real items. ``item_scale`` ([N], sharded like the
+    table) enables int8 catalogs — each shard dequantizes locally, halving
+    its catalog read/footprint (see ``quantize_catalog``).
     """
     n_shards = mesh.shape[axis]
     N = item_emb.shape[0]
@@ -59,8 +62,9 @@ def sharded_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray,
     k_local = min(k, n_local)  # a shard can contribute at most n_local items
 
     bias_spec = P(axis) if item_bias is not None else P()
+    scale_spec = P(axis) if item_scale is not None else P()
 
-    def kernel(u, it, ib):
+    def kernel(u, it, ib, isc):
         offset = jax.lax.axis_index(axis) * n_local
         if item_bias is None:
             # bias-free: per-shard fused pass — the [B, n_local] score
@@ -70,9 +74,13 @@ def sharded_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray,
             v, i = fused_catalog_topk(
                 u, it, k_local,
                 invalid_from=jnp.clip(n_real - offset, 0, n_local),
-                max_invalid=min(n_local, N - n_real))
+                max_invalid=min(n_local, N - n_real),
+                item_scale=isc if item_scale is not None else None)
         else:
-            local = jnp.dot(u, it.T, preferred_element_type=jnp.float32)
+            ite = it.astype(jnp.bfloat16) if item_scale is not None else it
+            local = jnp.dot(u, ite.T, preferred_element_type=jnp.float32)
+            if item_scale is not None:
+                local = local * isc[None, :]
             local = local + ib[None, :]
             gids = offset + jnp.arange(n_local)
             local = jnp.where(gids[None, :] >= n_real, -jnp.inf, local)
@@ -90,21 +98,24 @@ def sharded_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray,
     # are identical across shards (they are); disable the check
     try:
         fn = shard_map(kernel, mesh=mesh,
-                       in_specs=(P(), P(axis, None), bias_spec),
+                       in_specs=(P(), P(axis, None), bias_spec, scale_spec),
                        out_specs=(P(), P()), check_vma=False)
     except TypeError:  # older jax spells it check_rep
         fn = shard_map(kernel, mesh=mesh,
-                       in_specs=(P(), P(axis, None), bias_spec),
+                       in_specs=(P(), P(axis, None), bias_spec, scale_spec),
                        out_specs=(P(), P()), check_rep=False)
     ib = item_bias if item_bias is not None else jnp.zeros((N,), jnp.float32)
-    return fn(user_emb, item_emb, ib)
+    isc = item_scale if item_scale is not None \
+        else jnp.zeros((N,), jnp.float32)
+    return fn(user_emb, item_emb, ib, isc)
 
 
 def masked_sharded_topk(user_emb, item_emb_sharded, hist_items, hist_len,
                         k: int, mesh: Mesh,
                         item_bias=None, axis: str = "model",
                         n_real: Optional[int] = None,
-                        exclude_pad_item: bool = True):
+                        exclude_pad_item: bool = True,
+                        item_scale=None):
     """Exact top-k over a row-sharded catalog with user-history exclusion.
 
     History masking is exact without any per-shard scatter: at most
@@ -119,7 +130,7 @@ def masked_sharded_topk(user_emb, item_emb_sharded, hist_items, hist_len,
         fetch = min(fetch, int(n_real))
     vals, ids = sharded_catalog_topk(user_emb, item_emb_sharded, fetch, mesh,
                                      item_bias=item_bias, axis=axis,
-                                     n_real=n_real)
+                                     n_real=n_real, item_scale=item_scale)
     valid_h = jnp.arange(C)[None, :] < hist_len[:, None]
     hcols = jnp.where(valid_h, hist_items, -1)
     banned = (ids[:, :, None] == hcols[:, None, :]).any(-1)
