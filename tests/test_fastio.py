@@ -1,4 +1,4 @@
-"""Native text-table parser (native/fastio.cc via utils/fastio.py) must
+"""Native text-table parser (unirec_tpu/native/fastio.cc via utils/fastio.py) must
 produce exactly the frame the pandas path produces, and must decline
 (returning None -> pandas fallback) on inputs it does not cover."""
 import os

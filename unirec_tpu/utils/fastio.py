@@ -1,4 +1,4 @@
-"""ctypes bindings for the native table parser (native/fastio.cc).
+"""ctypes bindings for the native table parser (unirec_tpu/native/fastio.cc).
 
 The reference's text formats (headered TSV/CSV with list-valued columns:
 user_history item_seq, libFM index_list/value_list, T5/T6 sequence splits)
@@ -27,15 +27,15 @@ import pandas as pd
 
 logger = logging.getLogger("unirec_tpu")
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native", "fastio.cc")
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))), "native", "fastio.cc")
 
 _lib = None
 _lib_tried = False
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
-    """Compile native/fastio.cc to a cached shared library and load it."""
+    """Compile unirec_tpu/native/fastio.cc to a cached shared library and load it."""
     cache = os.environ.get("UNIREC_NATIVE_CACHE",
                            os.path.join(tempfile.gettempdir(),
                                         "unirec_native"))
