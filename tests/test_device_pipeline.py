@@ -238,3 +238,21 @@ def test_membership_binary_search_matches_compare():
     fb = aug_cmp.augment(aug_cmp.with_state(dict(batch)), key)
     for k in fb:
         np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))
+
+
+def test_auto_resume_device_pipeline(synth_dataset, tmp_path):
+    """auto_resume composes with the device pipeline: a 2-epoch run resumed
+    to 4 equals a straight 4-epoch run exactly (RawIdBatcher's shuffle
+    epoch fast-forwards like the host Batcher's)."""
+    root, info = synth_dataset
+    conf = copy.deepcopy(BASE_CONF)
+    conf.update(model="SASRec", dataloader="SeqRecDataset",
+                device_pipeline=1, auto_resume=1, dataset_path=root,
+                task="train")
+    a = main.run(dict(conf, epochs=4, exp_name="ardp_a",
+                      output_path=os.path.join(str(tmp_path), "a")))
+    out_b = os.path.join(str(tmp_path), "b")
+    main.run(dict(conf, epochs=2, exp_name="ardp_b", output_path=out_b))
+    b = main.run(dict(conf, epochs=4, exp_name="ardp_b", output_path=out_b))
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9, (k, a[k], b[k])

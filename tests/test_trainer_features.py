@@ -130,3 +130,29 @@ def test_orbax_checkpoint_backend(synth_dataset, tmp_path):
                  output_path=os.path.join(str(tmp_path), "orbax-test"))
     r2 = main.run(conf2)
     assert abs(r1["ndcg@5"] - r2["ndcg@5"]) < 1e-6, (r1, r2)
+
+
+def test_auto_resume_matches_uninterrupted_run(synth_dataset, tmp_path):
+    """auto_resume=1 writes a rolling `.last` checkpoint each epoch and a
+    fresh process continues from it with FULL state (params, optimizer
+    moments, epoch counter, early-stop patience, RNG step, batcher shuffle
+    epoch). A 3-epoch run 'preempted' and resumed to 6 epochs must equal a
+    straight 6-epoch run exactly (training is deterministic)."""
+    root, info = synth_dataset
+    out_a = os.path.join(str(tmp_path), "straight")
+    r_straight = main.run(_mf_conf(root, out_a, epochs=6, auto_resume=1,
+                                   exp_name="ar_a"))
+
+    out_b = os.path.join(str(tmp_path), "resumed")
+    main.run(_mf_conf(root, out_b, epochs=3, auto_resume=1, exp_name="ar_b"))
+    last = os.path.join(out_b, "checkpoint", "ar_b.pkl.last")
+    assert os.path.exists(last), os.listdir(os.path.join(out_b, "checkpoint"))
+    import pickle
+    ck = pickle.load(open(last, "rb"))
+    assert ck["cur_epoch"] == 3 and ck["opt_state"] is not None
+    r_resumed = main.run(_mf_conf(root, out_b, epochs=6, auto_resume=1,
+                                  exp_name="ar_b"))
+
+    for k in r_straight:
+        assert abs(r_straight[k] - r_resumed[k]) < 1e-9, \
+            (k, r_straight[k], r_resumed[k])

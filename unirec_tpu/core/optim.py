@@ -93,6 +93,15 @@ class PlateauScheduler:
             return max(lr * self.factor, self.min_lr)
         return lr
 
+    # plateau tracking must survive auto_resume or the resumed run's LR
+    # trajectory diverges from the uninterrupted one
+    def state_dict(self):
+        return {"best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, s):
+        self.best = s.get("best")
+        self.num_bad = int(s.get("num_bad", 0) or 0)
+
 
 class StepScheduler:
     """StepLR(step_size=1): lr *= factor every epoch (trainer.py:156)."""
@@ -102,6 +111,12 @@ class StepScheduler:
 
     def step(self, metric: float, lr: float) -> float:
         return lr * self.factor
+
+    def state_dict(self):
+        return {}
+
+    def load_state_dict(self, s):
+        pass
 
 
 def build_scheduler(config: Dict[str, Any]):

@@ -288,6 +288,10 @@ class RawIdBatcher:
     def __len__(self):
         return (len(self.user_id) + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int):
+        """Fast-forward the shuffle rng (auto_resume parity with Batcher)."""
+        self._epoch = int(epoch)
+
     def __iter__(self):
         rng = np.random.default_rng([self.seed, self._epoch])
         self._epoch += 1

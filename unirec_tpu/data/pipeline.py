@@ -61,6 +61,11 @@ class Batcher:
         self._epoch += 1
         return rng
 
+    def set_epoch(self, epoch: int):
+        """Fast-forward the per-epoch rng counter (auto_resume: a resumed
+        run must shuffle/sample epoch k exactly like the original run)."""
+        self._epoch = int(epoch)
+
     # ------------------------------------------------------------------
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = self._next_rng()

@@ -252,6 +252,24 @@ class Trainer:
             if model_file is None:
                 raise ValueError("`model_file` required with load_pretrained_model")
             self.load_model(model_file)
+        # preemption recovery: with auto_resume=1 a rolling `.last`
+        # checkpoint is written after every epoch; if one exists here, the
+        # run continues exactly where it stopped (params + optimizer +
+        # epoch/patience/step counters; the batcher's shuffle epoch is
+        # fast-forwarded so the data order matches an uninterrupted run)
+        auto_resume = bool(int(self.config.get("auto_resume", 0) or 0))
+        last_file = self.saved_model_file + ".last" if auto_resume else None
+        if auto_resume and (os.path.exists(last_file)
+                            or os.path.isdir(last_file + ".orbax")):
+            self.resume(last_file)
+            if hasattr(train_data, "set_epoch"):
+                # +1: the init_params peek above consumed one iterator
+                # (rng-epoch 0), exactly as it did in the original run —
+                # epoch k always trains with rng-epoch k+1. set_epoch (a
+                # method, so PrefetchBatcher's __getattr__ delegation
+                # reaches the INNER batcher — a bare attribute write would
+                # shadow on the wrapper) fast-forwards the shuffle rng.
+                train_data.set_epoch(self.cur_epoch + 1)
         self._build_train_step()
 
         for epoch_idx in range(self.cur_epoch, self.epochs):
@@ -310,6 +328,9 @@ class Trainer:
             self._log_scalars({"train/loss": total_loss,
                                "train/epoch_seconds": time.time() - t0},
                               epoch_idx + 1)
+            if auto_resume:
+                self.cur_epoch = epoch_idx + 1  # epochs completed
+                self.save_model(last_file, epoch_idx + 1, quiet=True)
         self.cur_epoch = self.epochs
         return self.best_valid_result
 
@@ -341,12 +362,19 @@ class Trainer:
 
     # ------------------------------------------------------------ checkpoint
     def save_model(self, filename: str, cur_epoch: int = -1,
-                   valid_result: Optional[dict] = None):
+                   valid_result: Optional[dict] = None, quiet: bool = False):
         state = {
             "config": self.config,
             "cur_epoch": cur_epoch,
             "cur_step": self.cur_step,
             "best_valid_score": valid_result,
+            # full-resume extras (preemption recovery): scalar best score,
+            # best metric dict, and the RNG-determining step counter
+            "best_score": self.best_valid_score,
+            "best_valid_result": self.best_valid_result,
+            "global_step": self._global_step,
+            "scheduler_state": (self.scheduler.state_dict()
+                                if self.scheduler is not None else None),
             "params": self.params,
             "constants": self.constants,
             "opt_state": self.opt_state,
@@ -355,9 +383,33 @@ class Trainer:
             ckpt_util.save_checkpoint_orbax(filename, state)
         else:
             ckpt_util.save_checkpoint(filename, state)
-        self.logger.info("Saved best model at epoch %d to %s", cur_epoch, filename)
+        if not quiet:
+            self.logger.info("Saved best model at epoch %d to %s",
+                             cur_epoch, filename)
 
-    def load_model(self, filename: str, restore_optimizer: bool = False):
+    def resume(self, filename: str):
+        """Restore FULL training state — params, optimizer moments, epoch
+        counter, early-stop patience, best score, and the step counter the
+        per-step RNG folds in — so a preempted run continues exactly where
+        it stopped (with ``auto_resume=1`` the trainer writes a rolling
+        ``<exp>.last`` checkpoint every epoch and picks it up here). The
+        reference saves optimizer state but never restores it
+        (trainer.py:389-398); this restores everything."""
+        ckpt = self.load_model(filename, restore_optimizer=True)
+        self.cur_epoch = int(ckpt.get("cur_epoch", 0) or 0)
+        self.cur_step = int(ckpt.get("cur_step", 1) or 1)
+        self.best_valid_score = ckpt.get("best_score")
+        self.best_valid_result = ckpt.get("best_valid_result")
+        self._global_step = int(ckpt.get("global_step", 0) or 0)
+        if self.scheduler is not None and ckpt.get("scheduler_state"):
+            self.scheduler.load_state_dict(ckpt["scheduler_state"])
+        self.logger.info("Resumed training state: %d epochs done, "
+                         "global_step=%d, best %s=%s", self.cur_epoch,
+                         self._global_step, self.key_metric,
+                         self.best_valid_score)
+
+    def load_model(self, filename: str, restore_optimizer: bool = False
+                   ) -> Dict[str, Any]:
         ckpt = ckpt_util.load_checkpoint(filename)
         loaded = jax.tree_util.tree_map(jnp.asarray, ckpt["params"])
         if self.params is None:
@@ -377,6 +429,7 @@ class Trainer:
                 pass
         self.logger.info("Loaded model from %s (epoch %s)", filename,
                          ckpt.get("cur_epoch"))
+        return ckpt
 
     # ----------------------------------------------------------------- MoRec
     def _morec_step(self, batch, rng):
