@@ -48,11 +48,31 @@ class _EvaluatorBase:
         """Device-put a host batch, sharding the leading axis over the mesh
         'data' axis when more than one device is present (replaces the
         reference's per-rank dataloader sharding, evaluator_abc.py:160-168).
-        Rows may be padded with zero-weight copies; callers must read the
-        weight column back from the returned dict."""
+        Rows may be padded with zero-weight copies; callers must read host
+        columns via ``_host_batch`` so padding matches the device batch."""
         if self.mesh is not None and getattr(self.mesh, "n_devices", 1) > 1:
             return self.mesh.shard_batch(batch)
         return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def _host_batch(self, batch):
+        """Host-side view of ``batch`` padded exactly like ``_to_device``
+        pads it (zero-weight last-row copies to the data-axis multiple), so
+        dispatch-only eval sweeps can read weight/id columns without a
+        device round-trip."""
+        d = (self.mesh.n_data
+             if self.mesh is not None and getattr(self.mesh, "n_devices", 1) > 1
+             else 1)
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            if d > 1 and v.ndim >= 1 and v.shape[0] % d != 0:
+                pad = d - (v.shape[0] % d)
+                filler = np.repeat(v[-1:], pad, axis=0)
+                if k == "weight":
+                    filler = np.zeros_like(filler)
+                v = np.concatenate([v, filler], axis=0)
+            out[k] = v
+        return out
 
     def _variables(self, params, constants):
         v = {"params": params}
@@ -154,9 +174,13 @@ class OnePositiveEvaluator(_EvaluatorBase):
         auc_scores: List[np.ndarray] = []
         auc_labels: List[np.ndarray] = []
         key = jax.random.PRNGKey(self.seed + 101)
+        # dispatch-only sweep; all device->host fetches happen once at the
+        # end (see evaluate_full for the measured rationale)
+        pending = []
         for i, batch in enumerate(batcher):
             jb = self._to_device(batch)
-            w_host = _np(jb["weight"])
+            hb = self._host_batch(batch)
+            w_host = hb["weight"]
             scores = self._predict(params, constants, jb)
             if scores.ndim == 1:
                 g = int(self.config.get("group_size", -1) or -1)
@@ -164,17 +188,23 @@ class OnePositiveEvaluator(_EvaluatorBase):
                     scores = scores.reshape(-1, g)
                 else:
                     scores = scores.reshape(len(w_host), -1)
-            if want_auc and "label" in batch:
-                keep = w_host > 0
-                auc_scores.append(_np(scores).reshape(len(keep), -1)[keep])
-                auc_labels.append(_np(jb["label"]).reshape(len(keep), -1)[keep])
             vals = self._group_metrics(scores, jax.random.fold_in(key, i))
+            need_auc = want_auc and "label" in batch
+            pending.append((vals, scores if need_auc else None,
+                            hb["label"] if need_auc else None))
             w = w_host
             if scores.shape[0] != len(w):  # per-group rows after reshape
                 w = np.repeat(w, scores.shape[0] // len(w))
+            weights.append((w_host, w))
+        pending = jax.device_get(pending)
+        for (w_host, _), (vals, sc, lab) in zip(weights, pending):
+            if sc is not None:
+                keep = w_host > 0
+                auc_scores.append(np.asarray(sc).reshape(len(keep), -1)[keep])
+                auc_labels.append(np.asarray(lab).reshape(len(keep), -1)[keep])
             for m in group_names:
-                rows[m].append(_np(vals[m]))
-            weights.append(w)
+                rows[m].append(np.asarray(vals[m]))
+        weights = [w for _, w in weights]
         out = self.merge(rows, weights)
         if want_auc and auc_scores:
             out["auc"] = M.roc_auc(np.concatenate(auc_labels).reshape(-1),
@@ -195,11 +225,17 @@ class OnePositiveEvaluator(_EvaluatorBase):
         weights = []
         key = jax.random.PRNGKey(self.seed + 202)
         meta = self.item_meta
+        # DISPATCH-ONLY sweep: no device->host transfer happens inside the
+        # loop (each one is a full round-trip that stalls the pipeline —
+        # measured 218 ms per 256-user batch through the serialized
+        # per-metric fetches vs 0.63 ms of actual device time). Per-batch
+        # outputs stay on device; everything is fetched once at the end.
+        pending = []   # (vals dict, rank, topk_ids, pos) device arrays
         for i, batch in enumerate(batcher):
             jb = self._to_device(batch)
-            w_host = _np(jb["weight"])
-            uid = _np(jb["user_id"])
-            hist_items, hist_len = history.gather(uid)
+            hb = self._host_batch(batch)
+            w_host = hb["weight"]
+            hist_items, hist_len = history.gather(hb["user_id"])
             scores = self._user_scores_fn(params, constants, item_emb, jb)
             pos = jb["item_id"]
             if pos.ndim == 2:
@@ -208,15 +244,18 @@ class OnePositiveEvaluator(_EvaluatorBase):
                 scores, pos, jnp.asarray(hist_items), jnp.asarray(hist_len),
                 jax.random.fold_in(key, i), n_items=n_items,
                 topk=self._popkl_k)
-            for m in self.base_names:
-                rows[m].append(_np(vals[m]))
-            keep = w_host > 0
             weights.append(w_host)
+            pending.append((vals, rank, topk_ids, pos))
+
+        # single bulk fetch of every queued batch's outputs
+        pending = jax.device_get(pending)
+        for w_host, (vals, rank_np, topk_np, pos_np) in zip(weights, pending):
+            for m in self.base_names:
+                rows[m].append(np.asarray(vals[m]))
             if not self.morec_names:
                 continue
             # ---- MoRec metrics (onepos.py:133-173), host-side tiny math
-            rank_np = _np(rank)
-            pos_np = _np(pos)
+            keep = w_host > 0
             prices = meta["weight"][pos_np] if meta is not None and \
                 "weight" in meta else np.ones_like(pos_np, np.float64)
             for m in self.morec_names:
@@ -230,7 +269,7 @@ class OnePositiveEvaluator(_EvaluatorBase):
                 elif name == "pop-kl":
                     k = int(m.split("@")[1])
                     i2g = meta["align_group"]
-                    ids = _np(topk_ids)[keep][:, :k].reshape(-1)
+                    ids = np.asarray(topk_np)[keep][:, :k].reshape(-1)
                     counts = np.bincount(i2g[ids], minlength=int(i2g.max()) + 1)
                     if popkl_counts[m] is None:
                         popkl_counts[m] = counts.astype(np.float64)
@@ -287,15 +326,19 @@ class MultiPositiveEvaluator(OnePositiveEvaluator):
         rows: Dict[str, List[np.ndarray]] = {m: [] for m in names}
         weights = []
         key = jax.random.PRNGKey(self.seed + 303)
+        pending = []   # dispatch-only sweep; one bulk fetch at the end
         for i, batch in enumerate(batcher):
             jb = self._to_device(batch)
-            hist_items, hist_len = history.gather(_np(jb["user_id"]))
+            hb = self._host_batch(batch)
+            hist_items, hist_len = history.gather(hb["user_id"])
             scores = self._user_scores_fn(params, constants, item_emb, jb)
             vals = self._mp_metrics(scores, jb["item_id"], jnp.asarray(hist_items),
                                     jnp.asarray(hist_len), jax.random.fold_in(key, i))
+            pending.append(vals)
+            weights.append(hb["weight"])
+        for vals in jax.device_get(pending):
             for m in names:
-                rows[m].append(_np(vals[m]))
-            weights.append(_np(jb["weight"]))
+                rows[m].append(np.asarray(vals[m]))
         return self.merge(rows, weights)
 
 
@@ -306,16 +349,21 @@ class SessionWiseEvaluator(_EvaluatorBase):
 
     def evaluate(self, batcher, params, constants=None) -> Dict[str, float]:
         scores, labels, sessions = [], [], []
+        pending = []   # dispatch-only sweep; one bulk fetch at the end
         for batch in batcher:
             jb = self._to_device(batch)
-            w_host = _np(jb["weight"])
-            s = _np(self._predict(params, constants, jb)).reshape(-1)
+            hb = self._host_batch(batch)
+            pending.append((hb["weight"],
+                            self._predict(params, constants, jb)))
+            labels.append(hb["label"].reshape(-1))
+            sessions.append((hb["session_id"] if "session_id" in hb
+                             else hb["user_id"]).reshape(-1))
+        for i, (w_host, s_dev) in enumerate(jax.device_get(pending)):
+            s = np.asarray(s_dev).reshape(-1)
             keep = np.repeat(w_host > 0, s.shape[0] // len(w_host))
             scores.append(s[keep])
-            labels.append(_np(jb["label"]).reshape(-1)[keep])
-            sessions.append(_np(jb["session_id"]).reshape(-1)[keep]
-                            if "session_id" in jb else
-                            _np(jb["user_id"]).reshape(-1)[keep])
+            labels[i] = labels[i][keep]
+            sessions[i] = sessions[i][keep]
         return self.evaluate_with_scores(np.concatenate(scores),
                                          np.concatenate(labels),
                                          np.concatenate(sessions))
