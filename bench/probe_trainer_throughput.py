@@ -1,0 +1,80 @@
+"""End-to-end THROUGH-THE-TRAINER throughput at the bench workload shapes.
+
+bench.py times a hand-rolled loop around the jitted step; this probe runs
+the actual ``facility/trainer.py`` epoch loop (device pipeline, shard_batch,
+compliance hook, RNG fold, device-side loss accumulation) so the framework
+overhead around the step is measured, not assumed. Before round 3 the loop
+fetched ``float(loss)`` every step — a blocking round-trip that serialized
+dispatch (same pathology the evaluators had).
+
+Run on the real chip: python bench/probe_trainer_throughput.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # workload constants
+
+STEPS = 24
+
+
+def main():
+    from unirec_tpu import config as config_mod
+    from unirec_tpu.core.mesh import create_mesh
+    from unirec_tpu.data.device_pipeline import DeviceAugmenter, RawIdBatcher
+    from unirec_tpu.data.history import UserHistory
+    from unirec_tpu.facility.trainer import Trainer
+    from unirec_tpu.utils.registry import get_model_class
+
+    rng = np.random.default_rng(0)
+    lens = rng.integers(10, bench.HIST_CAP, size=bench.N_USERS).astype(np.int32)
+    items = np.zeros((bench.N_USERS, bench.HIST_CAP), np.int32)
+    mask = np.arange(bench.HIST_CAP)[None, :] < lens[:, None]
+    items[mask] = rng.integers(1, bench.N_ITEMS, size=int(mask.sum()))
+    history = UserHistory(items, lens)
+
+    cfg = config_mod.parse_arguments({
+        "model": "SASRec", "n_users": bench.N_USERS, "n_items": bench.N_ITEMS,
+        "max_seq_len": bench.SEQ_LEN, "embedding_size": bench.EMB_DIM,
+        "hidden_size": bench.EMB_DIM, "inner_size": 2 * bench.EMB_DIM,
+        "n_layers": 2, "n_heads": 2, "loss_type": "bce",
+        "hidden_dropout_prob": 0.1, "attn_dropout_prob": 0.1,
+        "learning_rate": 1e-3, "group_size": -1,
+        "n_sample_neg_train": bench.N_NEG, "dataloader": "SeqRecDataset",
+        "history_mask_mode": "autoregressive", "epochs": 1,
+        "batch_size": bench.BATCH, "exp_name": "trainer_probe",
+        "output_path": "/tmp/trainer_probe",
+        "compute_dtype": "bfloat16", "dropout_rng_impl": "rbg",
+        "dropout_bits": 8, "last_query_only": 1,
+    }, argv=[])
+    model = get_model_class("SASRec")(cfg=cfg)
+    mesh = create_mesh(cfg)
+    trainer = Trainer(cfg, model, mesh)
+    trainer.set_device_augmenter(DeviceAugmenter(cfg, history))
+
+    n_rows = bench.BATCH * (STEPS + 3)
+    raw = RawIdBatcher(rng.integers(1, bench.N_USERS, size=n_rows),
+                       rng.integers(1, bench.N_ITEMS, size=n_rows),
+                       bench.BATCH, shuffle=False)
+
+    # epoch 1 includes compile; epoch 2 is the measurement
+    trainer.fit(raw, valid_data=None, save_model=False)
+    trainer.epochs = 2
+    trainer.cur_epoch = 1
+    t0 = time.perf_counter()
+    trainer.fit(raw, valid_data=None, save_model=False)
+    dt = time.perf_counter() - t0
+    n = len(raw)
+    print(f"trainer epoch: {n} steps of batch {bench.BATCH} in {dt:.2f} s -> "
+          f"{1000*dt/n:.1f} ms/step, {n*bench.BATCH/dt:,.0f} examples/sec "
+          f"(bench.py's bare loop: ~124.7 ms/step, ~264k ex/s)")
+
+
+if __name__ == "__main__":
+    main()

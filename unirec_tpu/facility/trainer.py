@@ -306,7 +306,7 @@ class Trainer:
                         logger.info("epoch %d: learning rate -> %g", epoch_idx, new_lr)
 
             t0 = time.time()
-            total_loss, n_steps = 0.0, 0
+            total_dev, n_steps = None, 0
             for batch in train_data:
                 self._maybe_check_compliance(batch)
                 dev_batch = self.mesh.shard_batch(batch)
@@ -322,7 +322,13 @@ class Trainer:
                         self.params, self.opt_state, dev_batch, rng)
                 self._global_step += 1
                 n_steps += 1
-                total_loss += float(loss)
+                # device-side running sum: float(loss) here would be a
+                # blocking device->host round-trip EVERY step, serializing
+                # dispatch (same pathology the evaluators had — see
+                # docs/performance_notes.md "dispatch-only loops")
+                total_dev = loss if total_dev is None else total_dev + loss
+            total_loss = float(jax.device_get(total_dev)) \
+                if total_dev is not None else 0.0
             logger.info("epoch %d training [time: %.2fs, train loss: %.4f]",
                         epoch_idx + 1, time.time() - t0, total_loss)
             self._log_scalars({"train/loss": total_loss,
