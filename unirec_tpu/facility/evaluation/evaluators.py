@@ -92,12 +92,13 @@ class _EvaluatorBase:
     def predict_scores(self, batcher, params, constants=None) -> np.ndarray:
         """Raw score inference for the infer task (evaluator_abc.py:175),
         available under every protocol."""
-        out = []
+        pending, keeps = [], []
         for batch in batcher:
             jb = self._to_device(batch)
-            scores = _np(self._predict(params, constants, jb))
-            out.append(scores[_np(jb["weight"]) > 0])
-        return np.concatenate(out)
+            pending.append(self._predict(params, constants, jb))
+            keeps.append(self._host_batch(batch)["weight"] > 0)
+        return np.concatenate([np.asarray(s)[k] for s, k in
+                               zip(jax.device_get(pending), keeps)])
 
     def merge(self, rows: Dict[str, List[np.ndarray]],
               weights: List[np.ndarray]) -> Dict[str, float]:

@@ -82,15 +82,18 @@ def infer_embedding(config, model, params, constants, ids, history,
     if traceable:
         fn = jax.jit(fn)
 
-    out, out_ids = [], []
+    # dispatch-only sweep (docs/performance_notes.md): queue every batch's
+    # embedding program, fetch once at the end — no per-batch round-trip
+    pending, reals, out_ids = [], [], []
     for batch in iter_infer_batches(config, ids, history, is_seqrec,
                                     features, node_type):
         n_real = batch.pop("n_real")
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        emb = np.asarray(fn(params, jb))[:n_real]
-        out.append(emb)
+        pending.append(fn(params, jb))
+        reals.append(n_real)
         key = "user_id" if node_type == "user" else "item_id"
         out_ids.append(batch[key][:n_real])
+    out = [np.asarray(e)[:n] for e, n in zip(jax.device_get(pending), reals)]
     return np.concatenate(out_ids), np.vstack(out)
 
 

@@ -194,7 +194,11 @@ def get_topk_recommendations(config, model, params, constants,
                 u, items = line.strip().split("\t")
                 user2items[int(u)] = [int(t) for t in items.split(",")]
 
+    # dispatch-only sweep (docs/performance_notes.md): every batch's program
+    # is queued without a host round-trip; one jax.device_get at the end
+    # drains the whole stream.
     is_seqrec = bool(getattr(model, "is_seqrec", False))
+    pending, reals, metas = [], [], []
     for batch in iter_infer_batches(config, user_ids, history, is_seqrec):
         n_real = batch.pop("n_real")
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -205,34 +209,36 @@ def get_topk_recommendations(config, model, params, constants,
                                 np.maximum(hist_len - last_item, 0)]
         else:
             target = np.zeros(len(hist_len), np.int32)
+        reals.append(n_real)
+        metas.append((uids, target))
         if item_file:
-            scores = np.asarray(scores_fn_j(params, jb, item_emb))[:n_real]
+            pending.append(scores_fn_j(params, jb, item_emb))
+        elif sharded:
+            pending.append(sharded_topk_fn(params, jb,
+                                           jnp.asarray(hist_items),
+                                           jnp.asarray(hist_len)))
+        elif fused:
+            pending.append(fused_topk_fn(params, jb, item_aug,
+                                         jnp.asarray(hist_items),
+                                         jnp.asarray(hist_len),
+                                         item_scale=item_scale))
+        else:
+            pending.append(topk_fn(params, jb, item_emb,
+                                   jnp.asarray(hist_items),
+                                   jnp.asarray(hist_len),
+                                   jnp.asarray(target)))
+    fetched = [np.asarray(x)[:n] for x, n in
+               zip(jax.device_get(pending), reals)]
+
+    if item_file:
+        for scores, (uids, target) in zip(fetched, metas):
             for i, u in enumerate(uids):
                 for it in user2items.get(int(u), []):
                     label = "1" if it == int(target[i]) else "0"
                     s = scores[i][it] if it > 0 else 0.0
                     score_lines.append(f"{int(u)}\t{it}\t{s}\t{label}\n")
-        elif sharded:
-            ids = np.asarray(sharded_topk_fn(params, jb,
-                                             jnp.asarray(hist_items),
-                                             jnp.asarray(hist_len)))[:n_real]
-            out_rows.append(ids)
-        elif fused:
-            ids = np.asarray(fused_topk_fn(params, jb, item_aug,
-                                           jnp.asarray(hist_items),
-                                           jnp.asarray(hist_len),
-                                           item_scale=item_scale))[:n_real]
-            out_rows.append(ids)
-        else:
-            ids = np.asarray(topk_fn(params, jb, item_emb,
-                                     jnp.asarray(hist_items),
-                                     jnp.asarray(hist_len),
-                                     jnp.asarray(target)))[:n_real]
-            out_rows.append(ids)
-
-    if item_file:
         return score_lines
-    return np.concatenate(out_rows, axis=0)
+    return np.concatenate(fetched, axis=0)
 
 
 def do_topk_reco(config: Dict) -> np.ndarray:
