@@ -121,6 +121,12 @@ VARIANTS = {
                      "dropout_rng_impl": "rbg", "dropout_bits": 8,
                      "last_query_only": 1,
                      "neg_membership_binary_search": 0},
+    # round-3: dropout-mask remat — the byte masks are regenerated in the
+    # backward pass from the rng key (modules.Dropout8.remat custom VJP)
+    # instead of being stored as autodiff residuals between fwd and bwd
+    "lastq+dropremat": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                        "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                        "last_query_only": 1, "dropout_mask_remat": 1},
     # round-3: scatter-FREE embedding grads (ops/embedding.py::gather_scan)
     # — sort + MXU blocked-cumsum + boundary gathers replace XLA's
     # row-serial scatter combine (24 ms of the 124 ms step in the r3 trace)

@@ -1052,3 +1052,53 @@ def test_int8_catalog_ranking_recall_on_structured_factors():
                    & set(np.asarray(exact[b]).tolist())) / K
                for b in range(B)]
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_dropout_mask_remat_bit_identical():
+    """dropout_mask_remat=1 regenerates the byte mask in backward from the
+    rng key (modules._byte_mask_dropout custom VJP) instead of storing it —
+    same key -> same bits -> same mask, so the loss is bit-identical and
+    gradients match to float reassociation (the custom VJP changes how XLA
+    fuses the multiply, not the math)."""
+    from unirec_tpu import config as config_mod
+    from unirec_tpu.utils.registry import get_model_class
+
+    base = {
+        "model": "SASRec", "n_users": 50, "n_items": 80, "max_seq_len": 10,
+        "embedding_size": 16, "hidden_size": 16, "inner_size": 32,
+        "n_layers": 2, "n_heads": 2, "loss_type": "bce", "group_size": -1,
+        "dataloader": "SeqRecDataset", "n_sample_neg_train": 2,
+        "use_pallas": 0, "dropout_bits": 8,
+        "hidden_dropout_prob": 0.3, "attn_dropout_prob": 0.2}
+    m0 = get_model_class("SASRec")(
+        cfg=config_mod.parse_arguments(dict(base), argv=[]))
+    m1 = get_model_class("SASRec")(
+        cfg=config_mod.parse_arguments(dict(base, dropout_mask_remat=1),
+                                       argv=[]))
+    rng = np.random.default_rng(3)
+    batch = {
+        "user_id": jnp.asarray(rng.integers(1, 50, 8), jnp.int32),
+        "item_id": jnp.asarray(rng.integers(1, 80, (8, 3)), jnp.int32),
+        "label": jnp.asarray(
+            np.concatenate([np.ones((8, 1)), np.zeros((8, 2))], 1),
+            jnp.float32),
+        "item_seq": jnp.asarray(rng.integers(0, 80, (8, 10)), jnp.int32),
+        "item_seq_len": jnp.asarray(rng.integers(1, 10, 8), jnp.int32),
+    }
+    params = m0.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(1)}, batch, train=False)
+
+    def loss_fn(model):
+        def f(p):
+            loss, _ = model.apply(p, batch, train=True,
+                                  rngs={"dropout": jax.random.PRNGKey(5)})
+            return loss
+        return f
+
+    l0, g0 = jax.jit(jax.value_and_grad(loss_fn(m0)))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(loss_fn(m1)))(params)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-9)

@@ -16,6 +16,7 @@ LayerNorm scale=1, bias=0.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -51,6 +52,30 @@ def zero_pad_row(table: jnp.ndarray) -> jnp.ndarray:
     return table.at[0].set(0.0)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _byte_mask_dropout(x, key, thr, inv_keep):
+    bits = jax.random.bits(key, x.shape, jnp.uint8)
+    return jnp.where(bits >= jnp.uint8(thr), x * inv_keep, jnp.zeros_like(x))
+
+
+def _byte_mask_dropout_fwd(x, key, thr, inv_keep):
+    # residual = the KEY ONLY (a few words). The default autodiff path
+    # stores the [shape]-sized mask (and the dropped tensor feeding any
+    # downstream matmul) between forward and backward; regenerating the
+    # bits from the hardware RNG is pure compute in a memory-bound step.
+    return _byte_mask_dropout(x, key, thr, inv_keep), (key, x.shape)
+
+
+def _byte_mask_dropout_bwd(thr, inv_keep, res, g):
+    key, shape = res
+    bits = jax.random.bits(key, shape, jnp.uint8)
+    return (jnp.where(bits >= jnp.uint8(thr), g * inv_keep,
+                      jnp.zeros_like(g)), None)
+
+
+_byte_mask_dropout.defvjp(_byte_mask_dropout_fwd, _byte_mask_dropout_bwd)
+
+
 class Dropout8(nn.Module):
     """Dropout whose mask comes from ONE random byte per element instead of
     a u32 word: the rng materializes 4x less HBM (the [B, H, L, L]
@@ -58,9 +83,17 @@ class Dropout8(nn.Module):
     bench shapes). The keep threshold is quantized to 1/256 — the realized
     keep probability ceil/round(rate*256)/256 is used for the rescale, so
     E[output] == input exactly. Opt-in via ``dropout_bits=8`` (the default
-    flax Dropout keeps the reference-default behavior)."""
+    flax Dropout keeps the reference-default behavior).
+
+    ``remat=True`` (config ``dropout_mask_remat=1``) stores NO mask between
+    forward and backward: a custom VJP keeps only the rng key and
+    regenerates the byte mask in the backward pass. Same key -> same bits
+    -> same mask, so the loss is bit-identical (grads match to float
+    reassociation); trades a second hardware-RNG draw for the mask
+    tensor's HBM write+read."""
 
     rate: float
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
@@ -70,17 +103,22 @@ class Dropout8(nn.Module):
         if thr >= 256:
             return jnp.zeros_like(x)
         keep_p = 1.0 - thr / 256.0
-        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
+        key = self.make_rng("dropout")
+        if self.remat:
+            return _byte_mask_dropout(x, key, thr, 1.0 / keep_p)
+        bits = jax.random.bits(key, x.shape, jnp.uint8)
         return jnp.where(bits >= jnp.uint8(thr), x * (1.0 / keep_p),
                          jnp.zeros_like(x))
 
 
-def apply_dropout(x, rate: float, train: bool, bits8: bool = False):
+def apply_dropout(x, rate: float, train: bool, bits8: bool = False,
+                  mask_remat: bool = False):
     """Inline dropout used inside @nn.compact bodies; ``bits8`` selects the
     byte-mask variant (no params either way, same 'dropout' rng stream, so
-    the param tree is independent of the choice)."""
+    the param tree is independent of the choice); ``mask_remat`` the
+    key-only-residual VJP (byte-mask path only)."""
     if bits8:
-        return Dropout8(rate)(x, deterministic=not train)
+        return Dropout8(rate, remat=mask_remat)(x, deterministic=not train)
     return nn.Dropout(rate, deterministic=not train)(x)
 
 
@@ -190,6 +228,8 @@ class MultiHeadAttention(nn.Module):
     # nh-times the (tiny) score FLOPs and an nh-times-larger k'/v' buffer,
     # so it is gated to small nh*L and stays opt-in pending the TPU A/B.
     head_stacked: bool = False
+    # key-only-residual dropout VJP (see Dropout8.remat); bits8 path only
+    mask_remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_mask: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -220,11 +260,11 @@ class MultiHeadAttention(nn.Module):
             scores = scores + attn_mask.astype(scores.dtype)
             probs = jax.nn.softmax(scores, axis=-1)
             probs = apply_dropout(probs, self.attn_dropout_prob, train,
-                                  self.bits8)
+                                  self.bits8, self.mask_remat)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v4).reshape(B, L, H)
             out = dense("dense")(ctx)
             out = apply_dropout(out, self.hidden_dropout_prob, train,
-                                self.bits8)
+                                self.bits8, self.mask_remat)
             return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                                 name="LayerNorm")(out + x)
         q = project["query"](x).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
@@ -256,11 +296,12 @@ class MultiHeadAttention(nn.Module):
             scores = scores + attn_mask.astype(scores.dtype)
             probs = jax.nn.softmax(scores, axis=-1)
             probs = apply_dropout(probs, self.attn_dropout_prob, train,
-                                  self.bits8)
+                                  self.bits8, self.mask_remat)
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, H)
         out = dense("dense")(ctx)
-        out = apply_dropout(out, self.hidden_dropout_prob, train, self.bits8)
+        out = apply_dropout(out, self.hidden_dropout_prob, train, self.bits8,
+                            self.mask_remat)
         # LN in the compute dtype too — an f32 LN forces an f32 round-trip
         # around every residual block (params stay f32 via param_dtype)
         return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
@@ -296,11 +337,13 @@ class MultiHeadAttention(nn.Module):
         mask_row = attn_mask[..., L - 1:, :]  # causal row L-1 = key-pad mask
         scores = scores + mask_row.astype(scores.dtype)
         probs = jax.nn.softmax(scores, axis=-1)
-        probs = apply_dropout(probs, self.attn_dropout_prob, train, self.bits8)
+        probs = apply_dropout(probs, self.attn_dropout_prob, train, self.bits8,
+                              self.mask_remat)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, H)
         out = dense("dense")(ctx)
-        out = apply_dropout(out, self.hidden_dropout_prob, train, self.bits8)
+        out = apply_dropout(out, self.hidden_dropout_prob, train, self.bits8,
+                            self.mask_remat)
         return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                             name="LayerNorm")(out + xq)
 
@@ -353,10 +396,12 @@ class MultiHeadAttention(nn.Module):
         e = jnp.exp(scores - jnp.repeat(m, L, axis=-1))
         z = e.reshape(B, Q, nh, L).sum(-1)
         probs = e / jnp.repeat(z, L, axis=-1)
-        probs = apply_dropout(probs, self.attn_dropout_prob, train, self.bits8)
+        probs = apply_dropout(probs, self.attn_dropout_prob, train, self.bits8,
+                              self.mask_remat)
         ctx = jnp.einsum("bqk,bkd->bqd", probs, vx)
         out = dense("dense")(ctx)
-        out = apply_dropout(out, self.hidden_dropout_prob, train, self.bits8)
+        out = apply_dropout(out, self.hidden_dropout_prob, train, self.bits8,
+                            self.mask_remat)
         return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                             name="LayerNorm")(out + xq)
 
@@ -405,6 +450,7 @@ class FeedForward(nn.Module):
     dtype: Any = None
     bits8: bool = False
     fused: bool = False
+    mask_remat: bool = False  # key-only-residual dropout VJP (Dropout8.remat)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -430,7 +476,8 @@ class FeedForward(nn.Module):
             h = nn.Dense(self.hidden_size, kernel_init=self.kernel_init,
                          bias_init=nn.initializers.zeros, dtype=self.dtype,
                          name="dense_2")(h)
-        h = apply_dropout(h, self.hidden_dropout_prob, train, self.bits8)
+        h = apply_dropout(h, self.hidden_dropout_prob, train, self.bits8,
+                          self.mask_remat)
         return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                             name="LayerNorm")(h + x)
 
@@ -453,6 +500,7 @@ class TransformerLayer(nn.Module):
     last_query: bool = False
     head_stacked: bool = False
     fused_ffn: bool = False
+    mask_remat: bool = False  # key-only-residual dropout VJP (Dropout8.remat)
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
@@ -465,12 +513,12 @@ class TransformerLayer(nn.Module):
                                self.dtype,
                                self.direct_layout and not special,
                                self.bits8, self.qkv_packed, self.last_query,
-                               self.head_stacked,
+                               self.head_stacked, self.mask_remat,
                                name="multi_head_attention")(x, attn_mask, train)
         return FeedForward(self.hidden_size, self.inner_size,
                            self.hidden_dropout_prob, self.hidden_act,
                            self.layer_norm_eps, self.kernel_init, self.dtype,
-                           self.bits8, self.fused_ffn,
+                           self.bits8, self.fused_ffn, self.mask_remat,
                            name="feed_forward")(x, train)
 
 
@@ -511,6 +559,10 @@ class TransformerEncoder(nn.Module):
     # Pallas fused dense->act->dense FFN (ops/ffn.py): the [tokens,
     # inner_size] activation never round-trips HBM. Opt-in, measured lever.
     fused_ffn: bool = False
+    # store NO dropout masks between fwd/bwd: regenerate the byte mask in
+    # backward from the rng key (Dropout8.remat). Same masks, same loss;
+    # bits8 path only. Opt-in, measured lever (config dropout_mask_remat=1).
+    mask_remat: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
@@ -526,7 +578,7 @@ class TransformerEncoder(nn.Module):
                           self.kernel_init, self.use_flash,
                           self.use_fused, self.dtype, self.direct_layout,
                           self.bits8, self.qkv_packed, last_q,
-                          self.head_stacked, self.fused_ffn,
+                          self.head_stacked, self.fused_ffn, self.mask_remat,
                           name=f"layer_{i}")(x, attn_mask, train)
         return x
 

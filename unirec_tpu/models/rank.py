@@ -160,7 +160,8 @@ class BST(RankerBase):
             direct_layout=bool(c.get("attn_direct_layout", 0)),
             remat=bool(c.get("remat_attention", 0)),
             bits8=int(c.get("dropout_bits", 32)) == 8,
-            fused_ffn=bool(c.get("use_fused_ffn", 0)))
+            fused_ffn=bool(c.get("use_fused_ffn", 0)),
+            mask_remat=bool(c.get("dropout_mask_remat", 0)))
         self.input_ln = nn.LayerNorm(epsilon=float(c.get("layer_norm_eps", 1e-10)),
                                      name="LayerNorm")
         self.input_dropout = nn.Dropout(float(c.get("hidden_dropout_prob", 0.5)))
@@ -274,7 +275,8 @@ class AdaRanker(RankerBase):
                 # opt-in — changes the dropout stream (fixed-seed trajectories)
                 last_query_only=bool(c.get("last_query_only", 0)),
                 head_stacked=bool(c.get("attn_head_stacked", 0)),
-                fused_ffn=bool(c.get("use_fused_ffn", 0)))
+                fused_ffn=bool(c.get("use_fused_ffn", 0)),
+                mask_remat=bool(c.get("dropout_mask_remat", 0)))
             self.input_ln = nn.LayerNorm(
                 epsilon=float(c.get("layer_norm_eps", 1e-12)), name="LayerNorm")
             self.input_dropout = nn.Dropout(float(c.get("hidden_dropout_prob", 0.5)))

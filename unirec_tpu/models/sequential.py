@@ -64,12 +64,19 @@ class SASRec(SeqRecBase):
             head_stacked=bool(c.get("attn_head_stacked", 0)),
             # Pallas dense->act->dense FFN (ops/ffn.py): [T, inner] stays in
             # VMEM instead of two HBM round-trips; same params/math, opt-in
-            fused_ffn=bool(c.get("use_fused_ffn", 0)))
+            fused_ffn=bool(c.get("use_fused_ffn", 0)),
+            # regenerate dropout byte masks in backward instead of storing
+            # them (modules.Dropout8.remat); same masks/loss, opt-in
+            mask_remat=bool(c.get("dropout_mask_remat", 0)))
         self.input_ln = nn.LayerNorm(epsilon=float(c.get("layer_norm_eps", 1e-12)),
                                      dtype=self.compute_dtype, name="LayerNorm")
-        drop_cls = modules.Dropout8 if int(c.get("dropout_bits", 32)) == 8 \
-            else nn.Dropout
-        self.input_dropout = drop_cls(float(c.get("hidden_dropout_prob", 0.5)))
+        if int(c.get("dropout_bits", 32)) == 8:
+            self.input_dropout = modules.Dropout8(
+                float(c.get("hidden_dropout_prob", 0.5)),
+                remat=bool(c.get("dropout_mask_remat", 0)))
+        else:
+            self.input_dropout = nn.Dropout(
+                float(c.get("hidden_dropout_prob", 0.5)))
 
     def encode_sequence(self, item_seq, item_seq_features=None, time_seq=None,
                         train: bool = False):
