@@ -70,9 +70,26 @@ def main():
     params = jax.device_get(trainer.params)
     checksum = float(sum(np.abs(np.asarray(x)).sum()
                          for x in jax.tree_util.tree_leaves(params)))
+
+    # full-catalog (one_vs_all) evaluation over the same global mesh: the
+    # per-batch metric programs run replicated outputs cross-process
+    # (evaluators._jit), so the dispatch-only sweep's bulk fetch works on
+    # every process
+    from unirec_tpu.facility.evaluation.evaluators import OnePositiveEvaluator
+    ev = OnePositiveEvaluator(
+        dict(cfg, metrics="['hit@5','ndcg@5','mrr@5']"), model, mesh)
+    uids = np.arange(1, 33, dtype=np.int64)
+    seq, seq_len = history.window(uids, int(cfg["max_seq_len"]))
+    pos = items[uids, np.maximum(lens[uids] - 1, 0)].astype(np.int64)
+    eval_batch = {"user_id": uids, "item_seq": seq, "item_seq_len": seq_len,
+                  "item_id": pos, "weight": np.ones(len(uids), np.float32)}
+    metrics = ev.evaluate_full([eval_batch], trainer.params, history,
+                               trainer.constants)
+
     print("MPRESULT " + json.dumps({
         "proc": jax.process_index(), "n_dev": jax.device_count(),
-        "param_abs_sum": checksum}), flush=True)
+        "param_abs_sum": checksum,
+        "metrics": {k: round(v, 8) for k, v in metrics.items()}}), flush=True)
 
 
 if __name__ == "__main__":

@@ -86,3 +86,10 @@ def test_two_process_train_matches_single_process(tmp_path):
     assert results[0]["param_abs_sum"] == pytest.approx(
         ref["param_abs_sum"], rel=2e-4), (results, ref)
     assert np.isfinite(ref["param_abs_sum"]) and ref["param_abs_sum"] > 0
+
+    # full-catalog evaluation also ran cross-process (replicated metric
+    # outputs, evaluators._jit) and matches the single-process metrics
+    for k, v in ref["metrics"].items():
+        assert results[0]["metrics"][k] == pytest.approx(v, abs=1e-6), (
+            k, results, ref)
+        assert results[1]["metrics"][k] == pytest.approx(v, abs=1e-6)

@@ -80,10 +80,19 @@ class _EvaluatorBase:
             v["constants"] = constants
         return v
 
+    def _jit(self, fn, **kw):
+        """jit with REPLICATED outputs when the mesh spans processes: the
+        dispatch-only sweeps fetch per-batch outputs with jax.device_get,
+        which requires every shard to be addressable locally. Single-process
+        meshes skip the constraint (and the all-gather it implies)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            kw.setdefault("out_shardings", self.mesh.replicated())
+        return jax.jit(fn, **kw)
+
     def _predict(self, params, constants, jb):
         if self.traceable:
             if not hasattr(self, "_pred_jit"):
-                self._pred_jit = jax.jit(lambda p, c, b: self.model.apply(
+                self._pred_jit = self._jit(lambda p, c, b: self.model.apply(
                     self._variables(p, c), b, method="predict"))
             return self._pred_jit(params, constants, jb)
         return self.model.apply(self._variables(params, constants), jb,
@@ -143,7 +152,6 @@ class OnePositiveEvaluator(_EvaluatorBase):
                                        batch, item_emb,
                                        float(self.config.get("tau", 1.0)))
 
-        @functools.partial(jax.jit, static_argnames=("n_items", "topk"))
         def _ova_metrics(scores, pos, hist_items, hist_len, key, n_items,
                          topk):
             rank, topk_ids = M.onepos_rank_full_catalog(
@@ -151,13 +159,15 @@ class OnePositiveEvaluator(_EvaluatorBase):
             vals = M.onepos_metrics(rank, n_items, tuple(self.base_names))
             return vals, rank, topk_ids
 
-        self._group_metrics = jax.jit(_group_metrics)
-        self._user_scores_fn = jax.jit(_user_scores) if self.traceable else _user_scores
-        self._ova_metrics = _ova_metrics
+        self._group_metrics = self._jit(_group_metrics)
+        self._user_scores_fn = self._jit(_user_scores) if self.traceable \
+            else _user_scores
+        self._ova_metrics = self._jit(_ova_metrics,
+                                      static_argnames=("n_items", "topk"))
 
     def _item_table(self, params, constants):
         if self.traceable:
-            return jax.jit(lambda p, c: self.model.apply(
+            return self._jit(lambda p, c: self.model.apply(
                 self._variables(p, c), method="all_item_emb"))(params, constants)
         return self.model.apply(None, method="all_item_emb")
 
@@ -246,7 +256,12 @@ class OnePositiveEvaluator(_EvaluatorBase):
                 jax.random.fold_in(key, i), n_items=n_items,
                 topk=self._popkl_k)
             weights.append(w_host)
-            pending.append((vals, rank, topk_ids, pos))
+            # queue the HOST copy of pos: the device one may be sharded
+            # across processes (not locally fetchable)
+            pos_host = hb["item_id"]
+            if pos_host.ndim == 2:
+                pos_host = pos_host[:, 0]
+            pending.append((vals, rank, topk_ids, pos_host))
 
         # single bulk fetch of every queued batch's outputs
         pending = jax.device_get(pending)
@@ -312,13 +327,12 @@ class MultiPositiveEvaluator(OnePositiveEvaluator):
         ks = [int(m.split("@")[1]) for m in self.metric_names if "@" in m]
         self.max_k = max(ks) if ks else 10
 
-        @jax.jit
         def _mp_metrics(scores, pos_items, hist_items, hist_len, key):
             return M.multipos_topk_and_metrics(
                 scores, pos_items, hist_items, hist_len,
                 self._supported(self.metric_names), self.max_k, key)
 
-        self._mp_metrics = _mp_metrics
+        self._mp_metrics = self._jit(_mp_metrics)
 
     def evaluate_full(self, batcher, params, history: UserHistory,
                       constants=None) -> Dict[str, float]:
