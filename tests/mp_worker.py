@@ -86,9 +86,19 @@ def main():
     metrics = ev.evaluate_full([eval_batch], trainer.params, history,
                                trainer.constants)
 
+    # checkpoint roundtrip on the shared filesystem: process 0 writes (the
+    # save barrier keeps the others from racing ahead), every process loads
+    ckpt_file = os.path.join(os.environ.get("MP_OUT", "/tmp/mp_worker"),
+                             "mp_ckpt.pkl")
+    trainer.save_model(ckpt_file, cur_epoch=2, quiet=True)
+    from unirec_tpu.utils.checkpoint import load_checkpoint
+    reloaded = load_checkpoint(ckpt_file)["params"]
+    reload_sum = float(sum(np.abs(np.asarray(x)).sum()
+                           for x in jax.tree_util.tree_leaves(reloaded)))
+
     print("MPRESULT " + json.dumps({
         "proc": jax.process_index(), "n_dev": jax.device_count(),
-        "param_abs_sum": checksum,
+        "param_abs_sum": checksum, "reload_abs_sum": reload_sum,
         "metrics": {k: round(v, 8) for k, v in metrics.items()}}), flush=True)
 
 

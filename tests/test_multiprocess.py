@@ -93,3 +93,8 @@ def test_two_process_train_matches_single_process(tmp_path):
         assert results[0]["metrics"][k] == pytest.approx(v, abs=1e-6), (
             k, results, ref)
         assert results[1]["metrics"][k] == pytest.approx(v, abs=1e-6)
+
+    # checkpoint roundtrip: process 0 wrote (save barrier), both reloaded
+    for r in results:
+        assert r["reload_abs_sum"] == pytest.approx(r["param_abs_sum"],
+                                                    rel=1e-6), results

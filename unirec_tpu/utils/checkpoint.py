@@ -23,6 +23,19 @@ def _to_host(tree):
 
 
 def save_checkpoint(path: str, state: Dict[str, Any], retries: int = 5):
+    if jax.process_count() > 1:
+        # replicated state: one writer (reference gates saves on the main
+        # process, trainer.py:292-296); a barrier so no process reads or
+        # exits before the file is complete
+        from jax.experimental import multihost_utils
+        if jax.process_index() == 0:
+            _write_checkpoint(path, state, retries)
+        multihost_utils.sync_global_devices("unirec_ckpt_saved")
+        return
+    _write_checkpoint(path, state, retries)
+
+
+def _write_checkpoint(path: str, state: Dict[str, Any], retries: int = 5):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = dict(state)
     for k in ("params", "constants", "opt_state"):
@@ -62,12 +75,21 @@ def save_checkpoint_orbax(path: str, state: Dict[str, Any]):
     path = os.path.abspath(path)
     if not path.endswith(".orbax"):
         path = path + ".orbax"
-    if os.path.exists(path):
-        import shutil
-        shutil.rmtree(path)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        # orbax's sharded save is a COLLECTIVE — every process writes its
+        # own table shards — but directory prep and the replicated side
+        # state are single-writer
+        from jax.experimental import multihost_utils
+        if jax.process_index() == 0:
+            _prep_ckpt_dir(path)
+        multihost_utils.sync_global_devices("unirec_orbax_dir_ready")
+    else:
+        _prep_ckpt_dir(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "params"), state["params"])
+    if multiproc and jax.process_index() != 0:
+        return
     side = {k: v for k, v in state.items() if k != "params"}
     for k in ("constants", "opt_state"):
         if side.get(k) is not None:
@@ -77,6 +99,13 @@ def save_checkpoint_orbax(path: str, state: Dict[str, Any]):
                           if not k.startswith("_")}
     with open(os.path.join(path, "side.pkl"), "wb") as f:
         pickle.dump(side, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def _prep_ckpt_dir(path: str):
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
 
 
 def _load_orbax(path: str) -> Dict[str, Any]:
