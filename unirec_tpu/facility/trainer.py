@@ -82,9 +82,11 @@ class Trainer:
         self.objective_controller = None  # MoRec hook
         self._augmenter = None  # device-side batch augmentation hook
 
-        # observability hooks (reference trainer.py:78-84,284-290,356-365)
+        # observability hooks (reference trainer.py:78-84,284-290,356-365);
+        # like the reference, only the main process writes them
+        is_main = jax.process_index() == 0
         self._tb = None
-        if int(config.get("use_tensorboard", 0) or 0):
+        if int(config.get("use_tensorboard", 0) or 0) and is_main:
             try:
                 from torch.utils.tensorboard import SummaryWriter
                 self._tb = SummaryWriter(
@@ -92,7 +94,7 @@ class Trainer:
             except ImportError:  # pragma: no cover
                 self.logger.warning("tensorboard unavailable; disabling")
         self._wandb = None
-        if int(config.get("use_wandb", 0) or 0):
+        if int(config.get("use_wandb", 0) or 0) and is_main:
             try:  # pragma: no cover - wandb not in the test environment
                 import wandb
                 self._wandb = wandb

@@ -288,8 +288,11 @@ def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
                                scfg["eval_protocol"] or EvalProtocol.ONE_VS_K.value)
         scores = driver.evaluate(test_batcher, load_best_model=False, predict_only=True)
         out_file = os.path.join(out_path, f"{exp_name}.infer.txt")
-        np.savetxt(out_file, np.asarray(scores).reshape(len(scores), -1), fmt="%.6f")
-        logger.info("wrote inference scores to %s", out_file)
+        import jax
+        if jax.process_index() == 0:  # one writer on shared filesystems
+            np.savetxt(out_file, np.asarray(scores).reshape(len(scores), -1),
+                       fmt="%.6f")
+            logger.info("wrote inference scores to %s", out_file)
         if int(config.get("profile", 0) or 0):
             import jax
             jax.profiler.stop_trace()
@@ -301,7 +304,8 @@ def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
         import jax
         jax.profiler.stop_trace()
 
-    if result is not None:
+    import jax
+    if result is not None and jax.process_index() == 0:
         res_file = os.path.join(out_path, f"{exp_name}.result.tsv")
         with open(res_file, "w") as f:
             f.write("\t".join(result.keys()) + "\n")
