@@ -159,11 +159,26 @@ class OnePositiveEvaluator(_EvaluatorBase):
             vals = M.onepos_metrics(rank, n_items, tuple(self.base_names))
             return vals, rank, topk_ids
 
+        def _ova_full(params, constants, item_emb, batch, hist_items,
+                      hist_len, key, n_items, topk):
+            # scores + rank + metrics as ONE program: one dispatch per batch
+            # instead of two, and XLA fuses the history masking / tie noise
+            # into the consumers of the [B, n_items] matmul
+            scores = _user_scores(params, constants, item_emb, batch)
+            pos = batch["item_id"]
+            if pos.ndim == 2:
+                pos = pos[:, 0]
+            return _ova_metrics(scores, pos, hist_items, hist_len, key,
+                                n_items, topk)
+
         self._group_metrics = self._jit(_group_metrics)
         self._user_scores_fn = self._jit(_user_scores) if self.traceable \
             else _user_scores
         self._ova_metrics = self._jit(_ova_metrics,
                                       static_argnames=("n_items", "topk"))
+        self._ova_full = (self._jit(_ova_full,
+                                    static_argnames=("n_items", "topk"))
+                          if self.traceable else None)
 
     def _item_table(self, params, constants):
         if self.traceable:
@@ -247,14 +262,21 @@ class OnePositiveEvaluator(_EvaluatorBase):
             hb = self._host_batch(batch)
             w_host = hb["weight"]
             hist_items, hist_len = history.gather(hb["user_id"])
-            scores = self._user_scores_fn(params, constants, item_emb, jb)
-            pos = jb["item_id"]
-            if pos.ndim == 2:
-                pos = pos[:, 0]
-            vals, rank, topk_ids = self._ova_metrics(
-                scores, pos, jnp.asarray(hist_items), jnp.asarray(hist_len),
-                jax.random.fold_in(key, i), n_items=n_items,
-                topk=self._popkl_k)
+            if self._ova_full is not None:
+                vals, rank, topk_ids = self._ova_full(
+                    params, constants, item_emb, jb,
+                    jnp.asarray(hist_items), jnp.asarray(hist_len),
+                    jax.random.fold_in(key, i), n_items=n_items,
+                    topk=self._popkl_k)
+            else:  # solver models: host-side scoring, jitted metrics only
+                scores = self._user_scores_fn(params, constants, item_emb, jb)
+                pos = jb["item_id"]
+                if pos.ndim == 2:
+                    pos = pos[:, 0]
+                vals, rank, topk_ids = self._ova_metrics(
+                    scores, pos, jnp.asarray(hist_items),
+                    jnp.asarray(hist_len), jax.random.fold_in(key, i),
+                    n_items=n_items, topk=self._popkl_k)
             weights.append(w_host)
             # queue the HOST copy of pos: the device one may be sharded
             # across processes (not locally fetchable)
@@ -332,7 +354,16 @@ class MultiPositiveEvaluator(OnePositiveEvaluator):
                 scores, pos_items, hist_items, hist_len,
                 self._supported(self.metric_names), self.max_k, key)
 
+        def _mp_full(params, constants, item_emb, batch, hist_items,
+                     hist_len, key):
+            # one dispatch per batch: scores + top-k + metrics fused
+            # (calling the jitted scores fn here inlines it into this jit)
+            scores = self._user_scores_fn(params, constants, item_emb, batch)
+            return _mp_metrics(scores, batch["item_id"], hist_items,
+                               hist_len, key)
+
         self._mp_metrics = self._jit(_mp_metrics)
+        self._mp_full = self._jit(_mp_full) if self.traceable else None
 
     def evaluate_full(self, batcher, params, history: UserHistory,
                       constants=None) -> Dict[str, float]:
@@ -346,9 +377,17 @@ class MultiPositiveEvaluator(OnePositiveEvaluator):
             jb = self._to_device(batch)
             hb = self._host_batch(batch)
             hist_items, hist_len = history.gather(hb["user_id"])
-            scores = self._user_scores_fn(params, constants, item_emb, jb)
-            vals = self._mp_metrics(scores, jb["item_id"], jnp.asarray(hist_items),
-                                    jnp.asarray(hist_len), jax.random.fold_in(key, i))
+            if self._mp_full is not None:
+                vals = self._mp_full(params, constants, item_emb, jb,
+                                     jnp.asarray(hist_items),
+                                     jnp.asarray(hist_len),
+                                     jax.random.fold_in(key, i))
+            else:
+                scores = self._user_scores_fn(params, constants, item_emb, jb)
+                vals = self._mp_metrics(scores, jb["item_id"],
+                                        jnp.asarray(hist_items),
+                                        jnp.asarray(hist_len),
+                                        jax.random.fold_in(key, i))
             pending.append(vals)
             weights.append(hb["weight"])
         for vals in jax.device_get(pending):
