@@ -50,6 +50,48 @@ def test_multivae(synth_dataset, tmp_path):
     assert result["hit@10"] > 0.03, result
 
 
+def test_multivae_kl_anneal_schedule(synth_dataset, tmp_path, monkeypatch):
+    """The KL anneal factor the train step actually receives must follow
+    the reference recurrence (multivae.py:25,106-109): anneal starts at
+    0.0 and is bumped by 1/total_anneal_steps after each forward, capped
+    at anneal_cap — i.e. the value used at 0-based step k is
+    min(cap, k/total)."""
+    import numpy as np
+
+    import unirec_tpu.facility.trainer as trmod
+
+    seen = []
+    orig_build = trmod.Trainer._build_train_step
+
+    def patched(self):
+        orig_build(self)
+        inner = self._train_step
+
+        def spy(params, opt_state, batch, rng):
+            seen.append(float(np.asarray(batch["anneal"])))
+            return inner(params, opt_state, batch, rng)
+
+        self._train_step = spy
+
+    monkeypatch.setattr(trmod.Trainer, "_build_train_step", patched)
+    root, info = synth_dataset
+    cap, total = 0.3, 7.0
+    main.run(_conf(root, str(tmp_path), "MultiVAE",
+                   dataloader="AERecDataset", epochs=2, batch_size=32,
+                   embedding_size=32, encoder_dims=[16], decoder_dims=[16],
+                   anneal_cap=cap, total_anneal_steps=total,
+                   exp_name="vae-anneal"))
+    assert len(seen) >= 10, "expected at least 10 train steps"
+
+    # reference recurrence, simulated verbatim
+    ref, want = 0.0, []
+    for _ in range(len(seen)):
+        want.append(ref)
+        ref = min(cap, ref + 1.0 / total)
+    np.testing.assert_allclose(seen, want, rtol=0, atol=1e-6)
+    assert seen[0] == 0.0 and max(seen) == pytest.approx(cap)
+
+
 @pytest.mark.parametrize("model", ["EASE", "AdmmSLIM", "SAR", "UserCF", "SLIM"])
 def test_solver_models(synth_dataset, tmp_path, model):
     root, info = synth_dataset

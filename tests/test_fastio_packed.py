@@ -99,6 +99,39 @@ def test_user_history_load_packed_matches_dataframe(tmp_path):
         np.testing.assert_array_equal(hp.lengths, hd.lengths)
 
 
+def test_history_packed_dropped_duplicate_does_not_widen(tmp_path):
+    """If a DROPPED earlier duplicate row is the longest row in the file,
+    from_packed must not widen items/capacity beyond what from_dataframe
+    (max over surviving sequences only) produces."""
+    rows = ["3\t" + ",".join(map(str, range(1, 31))),   # 30 items, dropped
+            "3\t42,43",                                  # later row wins
+            "5\t7,8,9"]
+    p = _write(tmp_path, "dup.tsv", "user_id\titem_seq", rows)
+    prefix = p[:-4]
+    hp = UserHistory.load(prefix, 10, "user-item_seq")
+    hd = UserHistory.from_dataframe(file_io.load_table(prefix), 10,
+                                    "user-item_seq")
+    assert hp.capacity == hd.capacity == 3
+    np.testing.assert_array_equal(hp.items, hd.items)
+    np.testing.assert_array_equal(hp.lengths, hd.lengths)
+
+
+def test_load_table_packed_defers_to_binary_formats(tmp_path):
+    """When <prefix>.ftr or .pkl exists alongside a text file, the packed
+    fast path must return None so load_table's first-match-wins precedence
+    (reference basedataset.py:209-231) decides the data source."""
+    import pandas as pd
+    _write(tmp_path, "tbl.tsv", "user_id\titem_id",
+           [f"{u}\t{u + 1}" for u in range(1, 9)])
+    prefix = os.path.join(str(tmp_path), "tbl")
+    assert file_io.load_table_packed(prefix) is not None
+    pd.DataFrame({"user_id": [1], "item_id": [99]}).to_feather(
+        prefix + ".ftr")
+    assert file_io.load_table_packed(prefix) is None
+    df = file_io.load_table(prefix)
+    assert list(df["item_id"]) == [99]
+
+
 def test_pad_packed_matches_pad_group():
     from unirec_tpu.data.datasets import _pad_group
     rng = np.random.default_rng(3)

@@ -156,3 +156,24 @@ def test_auto_resume_matches_uninterrupted_run(synth_dataset, tmp_path):
     for k in r_straight:
         assert abs(r_straight[k] - r_resumed[k]) < 1e-9, \
             (k, r_straight[k], r_resumed[k])
+
+
+def test_resume_preserves_zero_patience():
+    """A saved early-stop patience of 0 (the last eval improved) must
+    survive resume as 0 — a falsy `or 1` coercion would make the resumed
+    run early-stop one evaluation sooner than the uninterrupted one."""
+    import logging
+
+    from unirec_tpu.facility.trainer import Trainer
+
+    t = object.__new__(Trainer)
+    t.scheduler = None
+    t.logger = logging.getLogger("resume-test")
+    t.key_metric = "ndcg@5"
+    t.load_model = lambda f, restore_optimizer=True: {
+        "cur_epoch": 3, "cur_step": 0, "best_score": 0.5,
+        "best_valid_result": None, "global_step": 42,
+        "scheduler_state": None}
+    t.resume("ignored")
+    assert t.cur_step == 0
+    assert t.cur_epoch == 3 and t._global_step == 42

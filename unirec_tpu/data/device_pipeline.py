@@ -113,7 +113,10 @@ class DeviceAugmenter:
         C = sorted_rows.shape[1]
         lo = jnp.zeros(cand.shape, jnp.int32)
         hi = jnp.full(cand.shape, C, jnp.int32)
-        steps = max(int(np.ceil(np.log2(max(C, 2)))), 1)
+        # lower-bound search over C elements needs ceil(log2(C+1)) halvings:
+        # with exactly ceil(log2(C)) the interval can end at width 2 when C
+        # is a power of two, missing in-history candidates (false negatives).
+        steps = max(int(np.ceil(np.log2(C + 1))), 1)
         for _ in range(steps):
             mid = (lo + hi) // 2
             v = jnp.take_along_axis(sorted_rows, jnp.minimum(mid, C - 1),

@@ -65,7 +65,16 @@ class UserHistory:
         uids = packed["scalars"]["user_id"].astype(np.int64)
         flat, lens = packed["lists"]["item_seq"]
         ok = (uids >= 0) & (uids < n_users)
-        max_len = int(lens[ok].max()) if ok.any() else 1
+        # max_len over SURVIVING rows only ('later row wins'): a dropped
+        # earlier duplicate must not widen the array vs from_dataframe.
+        ok_idx = np.nonzero(ok)[0]
+        if ok_idx.size:
+            rev = ok_idx[::-1]
+            _, first_in_rev = np.unique(uids[rev], return_index=True)
+            surviving = rev[first_in_rev]
+            max_len = int(lens[surviving].max())
+        else:
+            max_len = 1
         if capacity is not None and capacity > 0:
             max_len = min(max_len, capacity)
         max_len = max(max_len, 1)

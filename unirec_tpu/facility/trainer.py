@@ -60,6 +60,16 @@ def early_stopping(value, best, cur_step, max_step=4, bigger=True):
     return best, cur_step, stop_flag, update_flag
 
 
+def kl_anneal(step: int, cap: float, total_steps: float) -> float:
+    """KL anneal factor at 0-based global step k.
+
+    Matches the reference recurrence (multivae.py:25,106-109): anneal
+    starts at 0.0 and is bumped by 1/total_anneal_steps AFTER each forward,
+    capped at anneal_cap — so the value USED at step k is min(cap, k/total).
+    """
+    return min(float(cap), step / float(total_steps))
+
+
 class Trainer:
     def __init__(self, config: Dict[str, Any], model, mesh: Optional[MeshContext] = None):
         self.config = config
@@ -118,6 +128,17 @@ class Trainer:
         self._rng = jax.random.PRNGKey(int(config.get("seed", 2022)))
         self._train_step = None
         self._global_step = 0
+        # MultiVAE KL-anneal schedule (multivae.py:25,106-109): the
+        # reference ramps a mutable self.anneal by 1/total_anneal_steps per
+        # forward up to anneal_cap, i.e. anneal(step k) = min(cap, k/total)
+        # with k 0-based. We feed that value through the batch so the
+        # jitted step stays pure; global_step is checkpointed, so — unlike
+        # the reference, whose counter silently resets — the schedule also
+        # survives resume.
+        _anneal_total = float(config.get("total_anneal_steps", 0) or 0)
+        self._anneal_sched = (
+            float(config.get("anneal_cap", 0.2)), _anneal_total) \
+            if _anneal_total > 0 else None
 
     # ------------------------------------------------------------------ setup
     def set_user_history(self, history):
@@ -175,7 +196,10 @@ class Trainer:
         def step(params, opt_state, batch, rng):
             if augmenter is not None:
                 rng, k_aug = jax.random.split(rng)
+                anneal = batch.pop("anneal", None)  # augment rebuilds keys
                 batch = augmenter.augment(batch, k_aug)
+                if anneal is not None:
+                    batch["anneal"] = anneal
             if rbg_dropout:
                 rng = jax.random.wrap_key_data(
                     jax.random.bits(rng, (4,), jnp.uint32), impl="rbg")
@@ -316,6 +340,10 @@ class Trainer:
                     # tables ride as jit operands (replicated), never as
                     # inlined closure constants
                     dev_batch = self._augmenter.with_state(dev_batch)
+                if self._anneal_sched is not None:
+                    cap, total = self._anneal_sched
+                    dev_batch["anneal"] = np.float32(
+                        kl_anneal(self._global_step, cap, total))
                 rng = jax.random.fold_in(self._rng, self._global_step)
                 if self.objective_controller is not None:
                     loss = self._morec_step(dev_batch, rng)
@@ -405,7 +433,10 @@ class Trainer:
         (trainer.py:389-398); this restores everything."""
         ckpt = self.load_model(filename, restore_optimizer=True)
         self.cur_epoch = int(ckpt.get("cur_epoch", 0) or 0)
-        self.cur_step = int(ckpt.get("cur_step", 1) or 1)
+        # no falsy coercion: a saved patience of 0 (last eval improved) is
+        # a legitimate value; `or 1` would early-stop one eval sooner.
+        _cs = ckpt.get("cur_step")
+        self.cur_step = int(_cs) if _cs is not None else 1
         self.best_valid_score = ckpt.get("best_score")
         self.best_valid_result = ckpt.get("best_valid_result")
         self._global_step = int(ckpt.get("global_step", 0) or 0)

@@ -24,8 +24,11 @@ class MultiVAE(BaseRecommender):
 
     Encoder input = history-sum embedding scaled by 1/sqrt(nnz); loss =
     masked full softmax over the catalog + annealed KL. The KL anneal factor
-    is driven by the *step* (passed in the batch as ``anneal``), replacing
-    the reference's mutable ``self.anneal`` counter.
+    is driven by the *step* (passed in the batch as ``anneal`` — the trainer
+    feeds min(anneal_cap, global_step/total_anneal_steps), matching the
+    reference recurrence at multivae.py:25,106-109), replacing the
+    reference's mutable ``self.anneal`` counter. When no schedule is
+    configured the factor falls back to the constant ``anneal_cap``.
     """
 
     is_seqrec: bool = True  # consumes item_seq (user history)

@@ -75,6 +75,13 @@ def load_table_packed(path_prefix: str):
     lens)}}. Returns None for binary formats (ftr/pkl are already fast) or
     when the native parser declines — callers fall back to load_table."""
     from unirec_tpu.utils.fastio import load_txt_table_packed
+    # binary formats keep load_table's first-match-wins precedence
+    # (reference basedataset.py:209-231): if <prefix>.ftr/.pkl exists,
+    # reading the sibling text file here would silently change the data
+    # source whenever the two differ.
+    if os.path.exists(path_prefix + ".ftr") or \
+            os.path.exists(path_prefix + ".pkl"):
+        return None
     for ext in (".tsv", ".csv", ".txt"):
         if os.path.exists(path_prefix + ext):
             return load_txt_table_packed(path_prefix + ext,
