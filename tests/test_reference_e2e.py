@@ -189,25 +189,80 @@ def test_sasrec_matches_reference(reference_env, synth_dataset, tmp_path):
         assert ours[m] >= ref[m] - 0.05, (m, ref, ours)
 
 
-@pytest.mark.parametrize("model", ["EASE", "SAR", "UserCF", "AdmmSLIM"])
+@pytest.mark.parametrize("model", ["EASE", "SAR", "UserCF", "AdmmSLIM",
+                                   "SLIM"])
 def test_solver_models_exact_parity(reference_env, synth_dataset, tmp_path,
                                     model):
     """Closed-form solvers are deterministic: same interaction graph →
     the reference's numpy/scipy solution and our on-device XLA solution
     must produce (near-)identical one-vs-all metrics. (AdmmSLIM needs the
-    scipy sparse ``.A`` shim in reference_env — modern scipy removed it.)"""
+    scipy sparse ``.A`` shim in reference_env — modern scipy removed it.)
+
+    SLIM is the one *replacement algorithm* in the solver family: the
+    reference runs n_items sklearn ElasticNet fits (slim.py:22-66,
+    random-selection CD, tol=1e-4); ours is vectorized cyclic CD on the
+    Gram (solvers.py). Both optimize the same convex objective and the
+    converged W matrices agree to <2e-3 max-abs with identical support
+    (test_linalg.py::test_slim_matches_sklearn_elasticnet).
+
+    The realized metrics differ for a REFERENCE-side reason: its sparse
+    full-catalog path scores SLIM with the TRANSPOSED similarity — the
+    numba kernel sums rows of forward_all_item_emb() == B.T
+    (ease.py:12-22,131-138 via evaluator_abc.py:227-229), i.e.
+    score(u,i) = Σ_{j∈hist} B[i,j], while its own dense path (EASE) and
+    the SLIM objective use Σ_j B[j,i]. Invisible for symmetric
+    similarities (SAR), wrong-direction for SLIM's asymmetric B. So for
+    SLIM we assert (a) ours ≥ ref (correct scoring can only help) and
+    (b) ours with B purposely transposed == ref within atol — proof we
+    reproduce the reference bit-for-bug when emulating its quirk."""
     root, info = synth_dataset
+    extra = {}
+    if model == "SLIM":
+        # compare at CONVERGENCE: with the harness default epochs=5 both
+        # CD schemes stop far from the optimum (sklearn max_iter=5 random
+        # -selection vs our 5 cyclic sweeps) and the half-solved metrics
+        # differ by ~0.02 (ours ahead). At 200 iterations the two W
+        # matrices agree to <1e-3 max-abs with identical support
+        # (test_linalg.py::test_slim_matches_sklearn_elasticnet).
+        extra = {"epochs": 200, "slim_max_sweeps": 200}
     ref = _run_reference(reference_env, root,
                          os.path.join(str(tmp_path), f"ref-{model}"),
                          model=model, dataloader="AERecDataset",
-                         n_sample_neg_train=0, exp_name=f"ref-{model}")
+                         n_sample_neg_train=0, exp_name=f"ref-{model}",
+                         **{k: v for k, v in extra.items()
+                            if k != "slim_max_sweeps"})
     ours = _run_ours(root, os.path.join(str(tmp_path), f"ours-{model}"),
                      model=model, dataloader="AERecDataset",
-                     n_sample_neg_train=0, exp_name=f"ours-{model}")
+                     n_sample_neg_train=0, exp_name=f"ours-{model}", **extra)
     # AdmmSLIM runs 100 ADMM sweeps in device f32 vs the reference's host
     # f64 — near-tie ranks can flip for a user or two (1 user = 5e-3 here);
     # the direct solvers are a single solve and stay within 2e-3.
     atol = 8e-3 if model == "AdmmSLIM" else 2e-3
+    if model == "SLIM":
+        for m in ("hit@5", "hit@10", "ndcg@5", "ndcg@10"):
+            assert ours[m] >= ref[m] - atol, (m, ref, ours)
+        # emulate the reference's transposed sparse scoring: must then
+        # reproduce its metrics (near-)exactly
+        import unirec_tpu.models.solvers as _sv
+        orig = _sv.SLIM.solve
+
+        def transposed(self, graph):
+            orig(self, graph)
+            self.item_similarity = np.ascontiguousarray(
+                self.item_similarity.T)
+
+        _sv.SLIM.solve = transposed
+        try:
+            ours_t = _run_ours(
+                root, os.path.join(str(tmp_path), "ours-SLIM-T"),
+                model=model, dataloader="AERecDataset",
+                n_sample_neg_train=0, exp_name="ours-SLIM-T", **extra)
+        finally:
+            _sv.SLIM.solve = orig
+        for m in ("hit@5", "hit@10", "ndcg@5", "ndcg@10"):
+            np.testing.assert_allclose(ours_t[m], ref[m], atol=atol,
+                                       err_msg=("SLIM-transposed", m))
+        return
     for m in ("hit@5", "hit@10", "ndcg@5", "ndcg@10"):
         np.testing.assert_allclose(ours[m], ref[m], atol=atol,
                                    err_msg=(model, m))
