@@ -89,3 +89,32 @@ def test_t1_1_explicit_max_len(synth_dataset, tmp_path):
         explicit_max_len=np.array([3, 10]))
     assert slen[0] == 3 and slen[1] == 6
     assert (seq[0][:3] == 0).all()  # left padding for the short prefix
+
+
+def test_session_gmv_metrics_e2e(synth_dataset, tmp_path):
+    """GMV/price-weighted session metrics flow end-to-end: prices come from
+    item_meta_morec.csv's weight column keyed by each row's item_id
+    (reference evaluator_abc.py:145-169 + sessionwise.py:39-83)."""
+    root, info = synth_dataset
+    conf = copy.deepcopy(BASE_CONF)
+    conf.update(model="MF", dataloader="BaseDataset", loss_type="bpr",
+                has_user_emb=True, n_sample_neg_train=9, epochs=3,
+                data_test_name="test_session",
+                test_file_format="user-item-label-session",
+                test_protocol="session_aware",
+                metrics="['group_auc','ndcg','rndcg','rndcg@3',"
+                        "'rhit@3','rrecall@3','hit@3','recall@3']",
+                key_metric="ndcg",
+                dataset_path=root, task="train",
+                output_path=os.path.join(str(tmp_path), "gmv"),
+                exp_name="gmv")
+    result = main.run(conf)
+    assert result is not None
+    for m in ("rndcg", "rndcg@3", "rhit@3", "rrecall@3"):
+        assert m in result, result.keys()
+    assert 0 < result["rndcg"] <= 1.0
+    assert 0 < result["rndcg@3"] <= 1.0
+    # synth prices are in [1, 50]: a price-weighted hit must dominate the
+    # 0/1 hit and the rrecall mass must exceed plain recall
+    assert result["rhit@3"] >= result["hit@3"]
+    assert result["rrecall@3"] >= result["recall@3"]

@@ -103,6 +103,46 @@ def test_session_metric_parity(ref_modules):
                                    err_msg=k)
 
 
+def test_session_gmv_metric_parity(ref_modules):
+    """Price/GMV-weighted session metrics (rndcg/rhit/rrecall,
+    sessionwise.py:39-83): same (scores, labels, session_ids, prices) →
+    identical values from the reference evaluator and ours."""
+    _, sessionwise, _ = ref_modules
+    from unirec_tpu.facility.evaluation.evaluators import SessionWiseEvaluator
+
+    rng = np.random.default_rng(5)
+    n_sessions, g = 60, 9
+    scores = rng.normal(size=(n_sessions * g,)) * 10
+    labels = np.zeros(n_sessions * g)
+    for s in range(n_sessions):
+        labels[s * g + rng.integers(0, g, size=rng.integers(1, 5))] = 1
+    session_ids = np.repeat(np.arange(n_sessions), g)
+    prices = rng.uniform(0.5, 50.0, size=n_sessions * g)
+
+    metric_str = ("['rndcg', 'rndcg@3', 'rhit@3', 'rrecall@3', "
+                  "'rhit@5', 'rrecall@5', 'ndcg@3', 'hit@3']")
+    ref_ev = sessionwise.SessionWiseEvaluator(
+        metric_str, -1,
+        config={"verbose": 0, "data_format": "user-item-label-session"})
+    ref = ref_ev.evaluate_with_scores(scores.copy(), labels.copy(),
+                                      session_ids=list(session_ids),
+                                      prices=prices.copy())
+    ref = ref_ev.merge_scores(ref)
+
+    ours_ev = SessionWiseEvaluator.__new__(SessionWiseEvaluator)
+    ours_ev.config = {"metrics": metric_str}
+    ours_ev.seed = 0
+    from unirec_tpu.ops.metrics import parse_metrics
+    ours_ev.metric_names = parse_metrics(metric_str)
+    ours = ours_ev.evaluate_with_scores(scores, labels, session_ids,
+                                        prices=prices)
+    assert ref, "reference produced no metrics"
+    for k, v in ref.items():
+        assert k in ours, (k, ours.keys())
+        np.testing.assert_allclose(ours[k], float(np.asarray(v)), rtol=1e-5,
+                                   err_msg=k)
+
+
 def test_loss_function_parity(ref_modules):
     """bpr/ccl losses: identical inputs through the reference torch helpers
     (modules.py:15-35) and our jax implementations."""

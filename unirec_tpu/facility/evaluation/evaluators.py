@@ -131,11 +131,19 @@ class OnePositiveEvaluator(_EvaluatorBase):
         # main.py loaded item_meta_morec (reference evaluator_abc.py:107-118)
         self.item_meta = config.get("_item_meta_morec")
         self.align_dist = config.get("_alignment_dist")
+        # bare (no-@k) r-metrics are session-wise only (sessionwise.py:
+        # 171-173); the one-positive family has no @-less definition
+        # (onepos.py:133-173) — drop them rather than crash when the same
+        # metrics string drives both a session test and a one-vs-all valid
+        _session_only = [m for m in self.metric_names if "@" not in m and
+                         m in ("rhit", "rndcg", "rrecall")]
         self.morec_names = [m for m in self.metric_names
-                            if m.split("@")[0] in self.MOREC_PREFIXES
-                            or m == "least-misery"]
+                            if (m.split("@")[0] in self.MOREC_PREFIXES
+                                or m == "least-misery")
+                            and m not in _session_only]
         self.base_names = [m for m in self.metric_names
-                           if m not in self.morec_names and m != "auc"]
+                           if m not in self.morec_names and m != "auc"
+                           and m not in _session_only]
         pop_ks = [int(m.split("@")[1]) for m in self.morec_names
                   if m.startswith("pop-kl@")]
         self._popkl_k = max(pop_ks) if pop_ks else 0
@@ -399,10 +407,23 @@ class MultiPositiveEvaluator(OnePositiveEvaluator):
 class SessionWiseEvaluator(_EvaluatorBase):
     """Session-grouped metrics (sessionwise.py): score on device, group and
     reduce per session on host. Sessions that are all-positive or all-negative
-    are dropped (sessionwise.py:104-115)."""
+    are dropped (sessionwise.py:104-115).
+
+    Price/GMV-weighted variants (rhit/rrecall/rndcg, sessionwise.py:39-83,
+    from 'A Pareto-Efficient Algorithm for Multiple Objective Optimization
+    in E-Commerce Recommendation'): per-row prices come from the MoRec item
+    meta's weight column keyed by item_id (evaluator_abc.py:145-169)."""
+
+    PRICE_PREFIXES = ("rndcg", "rhit", "rrecall")
+
+    def __init__(self, config, model, mesh=None):
+        super().__init__(config, model, mesh)
+        self.item_meta = config.get("_item_meta_morec")
+        self._need_prices = any(
+            m.split("@")[0] in self.PRICE_PREFIXES for m in self.metric_names)
 
     def evaluate(self, batcher, params, constants=None) -> Dict[str, float]:
-        scores, labels, sessions = [], [], []
+        scores, labels, sessions, item_ids = [], [], [], []
         pending = []   # dispatch-only sweep; one bulk fetch at the end
         for batch in batcher:
             jb = self._to_device(batch)
@@ -412,24 +433,50 @@ class SessionWiseEvaluator(_EvaluatorBase):
             labels.append(hb["label"].reshape(-1))
             sessions.append((hb["session_id"] if "session_id" in hb
                              else hb["user_id"]).reshape(-1))
+            if self._need_prices:
+                item_ids.append(hb["item_id"].reshape(-1))
         for i, (w_host, s_dev) in enumerate(jax.device_get(pending)):
             s = np.asarray(s_dev).reshape(-1)
             keep = np.repeat(w_host > 0, s.shape[0] // len(w_host))
             scores.append(s[keep])
             labels[i] = labels[i][keep]
             sessions[i] = sessions[i][keep]
+            if self._need_prices:
+                item_ids[i] = item_ids[i][keep]
+        prices = None
+        if self._need_prices:
+            ids = np.concatenate(item_ids)
+            prices = (self.item_meta["weight"][ids]
+                      if self.item_meta is not None and
+                      "weight" in self.item_meta
+                      else np.ones(len(ids), np.float64))
         return self.evaluate_with_scores(np.concatenate(scores),
                                          np.concatenate(labels),
-                                         np.concatenate(sessions))
+                                         np.concatenate(sessions),
+                                         prices=prices)
 
     def evaluate_with_scores(self, scores: np.ndarray, labels: np.ndarray,
-                             session_ids: np.ndarray) -> Dict[str, float]:
+                             session_ids: np.ndarray,
+                             prices: Optional[np.ndarray] = None
+                             ) -> Dict[str, float]:
         rng = np.random.default_rng(self.seed + 404)
         scores = scores + rng.uniform(-1e-8, 1e-8, size=scores.shape)
         order = np.argsort(session_ids, kind="stable")
         s, l, g = scores[order], labels[order], session_ids[order]
+        p = prices[order] if prices is not None else None
         bounds = np.flatnonzero(np.r_[True, g[1:] != g[:-1], True])
         res: Dict[str, List[float]] = {m: [] for m in self.metric_names}
+
+        def _rndcg(k, ranks, ndcg_w, rank_prices):
+            # sessionwise.py:44-50: GMV-weighted NDCG — numerator pairs each
+            # hit positive's discount with its price; the ideal denominator
+            # pairs the largest discounts with the largest prices
+            n = min(k, len(ranks))
+            hit = ranks < k
+            num = (ndcg_w[ranks[hit]] * rank_prices[hit]).sum()
+            den = (ndcg_w[:n] * np.sort(rank_prices)[::-1][:n]).sum() + 1e-8
+            return num / den
+
         for a, b in zip(bounds[:-1], bounds[1:]):
             gs, gl = s[a:b], l[a:b]
             n_pos = gl.sum()
@@ -438,7 +485,12 @@ class SessionWiseEvaluator(_EvaluatorBase):
             order_desc = np.argsort(-gs, kind="stable")
             ranks_full = np.empty(len(gs), dtype=np.int64)
             ranks_full[order_desc] = np.arange(len(gs))
-            ranks = np.sort(ranks_full[gl > 0])
+            pos_ranks = ranks_full[gl > 0]
+            rank_order = np.argsort(pos_ranks)
+            ranks = pos_ranks[rank_order]
+            # positives' prices in rank order (sessionwise.py:160-162)
+            rank_prices = (p[a:b][gl > 0][rank_order]
+                           if p is not None else None)
             n = len(gs)
             ndcg_w = 1.0 / np.log2(np.arange(2, n + 2))
             mrr_w = 1.0 / np.arange(1, n + 1)
@@ -447,6 +499,11 @@ class SessionWiseEvaluator(_EvaluatorBase):
                     res[m].append(M.roc_auc(gl, gs))
                 elif m == "ndcg":
                     res[m].append(ndcg_w[ranks].sum() / ndcg_w[: len(ranks)].sum())
+                elif m == "rndcg":
+                    # k=Inf (sessionwise.py:172): ranks can exceed the
+                    # positive count, so no finite k shortcut
+                    res[m].append(_rndcg(np.inf, ranks, ndcg_w,
+                                         rank_prices))
                 elif m == "mrr":
                     res[m].append(mrr_w[ranks].sum() / len(ranks))
                 elif "@" in m:
@@ -455,10 +512,18 @@ class SessionWiseEvaluator(_EvaluatorBase):
                     if name == "ndcg":
                         nn_ = min(k, len(ranks))
                         res[m].append(ndcg_w[ranks[ranks < k]].sum() / ndcg_w[:nn_].sum())
+                    elif name == "rndcg":
+                        res[m].append(_rndcg(k, ranks, ndcg_w, rank_prices))
                     elif name == "hit":
                         res[m].append(1.0 if ranks[0] < k else 0.0)
+                    elif name == "rhit":
+                        # max-price hit positive (sessionwise.py:63-65)
+                        res[m].append(float(((ranks < k) * rank_prices).max()))
                     elif name == "recall":
                         res[m].append((ranks < k).sum() / len(ranks))
+                    elif name == "rrecall":
+                        # price mass of hit positives (sessionwise.py:81-83)
+                        res[m].append(float(((ranks < k) * rank_prices).sum()))
                     elif name == "mrr":
                         nn_ = min(k, len(ranks))
                         res[m].append(mrr_w[ranks[ranks < k]].sum() / nn_)

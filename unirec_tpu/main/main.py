@@ -152,7 +152,7 @@ def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
     # (reference main.py:282-291)
     if int(config.get("enable_morec", 0) or 0) > 0 or any(
             t in str(config.get("metrics", ""))
-            for t in ("pop-kl", "least-misery", "rhit", "rndcg")):
+            for t in ("pop-kl", "least-misery", "rhit", "rndcg", "rrecall")):
         from unirec_tpu.facility.morec import (load_alignment_distribution,
                                                load_morec_meta_data)
         meta_file = os.path.join(config["dataset_path"],

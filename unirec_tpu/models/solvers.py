@@ -269,7 +269,16 @@ class SLIM(SolverRecommender):
         the [K, K] subproblem, vmapped over all columns. O(N·K²) per sweep
         instead of O(N³) (VERDICT round-1 weak #3; the reference's own
         per-column sklearn loop is the same restriction philosophy with
-        K = N, slim.py:22-66)."""
+        K = N, slim.py:22-66).
+
+        MEASURED quality vs the exact full CD (bench/probe_slim_active_set
+        .py, Zipf-popularity graph, default l1=0.004/l2=0.098, 30 sweeps,
+        real TPU): at N=2000/U=8000 K=256 is BIT-EXACT (rel-Frobenius 0.0,
+        weight-mass recall 1.0, identical leave-one-out hit/ndcg@10) and
+        16x faster (4.3s vs 68s); K=128 captures 99.95% of the weight
+        mass with hit@10 within 0.2%. The l1 penalty keeps converged
+        columns far sparser than 256 active coordinates, so the top-256
+        co-occurrence restriction loses nothing at these densities."""
         N = G_host.shape[0]
         # top-K candidate coordinates per column (excluding the diagonal)
         Gq = np.array(G_host, copy=True)
