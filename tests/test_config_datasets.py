@@ -47,3 +47,30 @@ def test_feat_counts_present_for_libfm():
     cfg = config_mod.parse_arguments({"model": "FM",
                                       "dataset": "Beauty-libfm"}, argv=[])
     assert cfg["n_feats"] == 46557
+
+
+def test_tpu_fast_defaults(monkeypatch):
+    """On a TPU backend, compute_dtype defaults to bfloat16; an explicit
+    setting from any layer wins; --reproducible restores the portable path
+    wholesale (VERDICT r3 item 7)."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = config_mod.parse_arguments({"model": "SASRec"}, argv=[])
+    assert cfg["compute_dtype"] == "bfloat16"
+
+    cfg = config_mod.parse_arguments({"model": "SASRec"},
+                                     argv=["--compute_dtype", "float32"])
+    assert cfg["compute_dtype"] == "float32"  # explicit CLI layer wins
+
+    cfg = config_mod.parse_arguments(
+        {"model": "SASRec", "dropout_rng_impl": "rbg", "dropout_bits": 8},
+        argv=["--reproducible", "1"])
+    assert cfg["compute_dtype"] == "float32"
+    assert cfg["dropout_rng_impl"] == "threefry"
+    assert cfg["dropout_bits"] == 32
+
+
+def test_cpu_backend_keeps_f32_default():
+    cfg = config_mod.parse_arguments({"model": "SASRec"}, argv=[])
+    assert cfg["compute_dtype"] == "float32"  # suite runs on the CPU mesh

@@ -96,29 +96,63 @@ def parse_arguments(args: Optional[Dict[str, Any]] = None,
     cmd = parse_cmd_arguments(argv if argv is not None else [])
 
     config = _load_yaml(os.path.join(_CONFIG_DIR, "base.yaml"))
+    explicit: set = set()  # keys set by any layer above base.yaml
 
     # model yaml
     model_name = args.get("model") or cmd.get("model") or config.get("model")
     model_yaml = os.path.join(_CONFIG_DIR, "model", f"{model_name}.yaml")
     if os.path.exists(model_yaml):
-        config.update(_load_yaml(model_yaml))
+        layer = _load_yaml(model_yaml)
+        config.update(layer)
+        explicit.update(layer)
     config["model"] = model_name
 
     # dataset yaml / data.info — dataset name+path may come from any layer
     probe = dict(config)
     probe.update(cmd)
     probe.update(args)
-    config.update(load_dataset_config(probe))
+    layer = load_dataset_config(probe)
+    config.update(layer)
+    explicit.update(layer)
 
     # optional --config_file
     cfg_file = args.get("config_file") or cmd.get("config_file")
     if cfg_file:
-        config.update(_load_yaml(cfg_file))
+        layer = _load_yaml(cfg_file)
+        config.update(layer)
+        explicit.update(layer)
 
     config.update(cmd)
     config.update(args)
+    explicit.update(cmd)
+    explicit.update(args)
+    _apply_tpu_fast_defaults(config, explicit)
     config["cmd_args"] = cmd  # kept for re-overlay after checkpoint-config load
     return config
+
+
+def _apply_tpu_fast_defaults(config: Dict[str, Any], explicit: set) -> None:
+    """On a TPU backend, default the measured loss-identical fast path on.
+
+    ``compute_dtype=bfloat16`` was loss-identical to 5 decimals in the
+    recorded A/B (docs/performance_notes.md) and is what the hardware is
+    built for, so it is the TPU default. Any explicit ``--compute_dtype``
+    (from any config layer above base.yaml) wins, and ``--reproducible``
+    restores the bit-reproducible cross-backend behavior (f32 compute +
+    threefry dropout) wholesale.
+    """
+    if config.get("reproducible"):
+        config["compute_dtype"] = "float32"
+        config["dropout_rng_impl"] = "threefry"
+        config["dropout_bits"] = 32
+        return
+    try:
+        import jax
+        backend = jax.default_backend()
+    except Exception:  # jax not importable / no backend — keep portables
+        return
+    if backend == "tpu" and "compute_dtype" not in explicit:
+        config["compute_dtype"] = "bfloat16"
 
 
 def overlay_checkpoint_config(config: Dict[str, Any], ckpt_config: Dict[str, Any]) -> Dict[str, Any]:
