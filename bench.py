@@ -207,6 +207,13 @@ def main():
         "value": round(throughput, 1),
         "unit": "examples/sec/chip",
         "vs_baseline": round(throughput / BASELINE_EXAMPLES_PER_SEC, 3),
+        # the reference publishes no throughput figures (BASELINE.md), so
+        # the denominator is a fixed 25k ex/s NOMINAL constant kept stable
+        # across rounds for trend tracking — it is NOT a measured torch-GPU
+        # benchmark; the honest headline numbers are the absolute
+        # examples/sec above and the HBM-utilization line on stderr.
+        "vs_baseline_is": "nominal tracking constant, not a measured "
+                          "torch baseline",
     }))
 
 
