@@ -133,6 +133,19 @@ VARIANTS = {
     "lastq+scan": {"use_pallas": 0, "compute_dtype": "bfloat16",
                    "dropout_rng_impl": "rbg", "dropout_bits": 8,
                    "last_query_only": 1, "scan_embedding_grad": 1},
+    # round-4: whole-layer Pallas kernel (ops/layer.py) — each full-length
+    # layer runs qkv→attention→softmax→dropout→@V→proj→LN→FFN→LN as one
+    # program per batch block; only x/y touch HBM, backward recomputes from
+    # x and emits per-program partial weight grads. Targets the attention
+    # core + layout copies the r3 trace put at ~38 ms of the 124.7 ms step
+    "lastq+fusedlayer": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                         "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                         "last_query_only": 1, "fused_layer": 1},
+    # both layers whole-layer-fused (no single-query final layer): tests
+    # whether in-kernel full-length attention beats the lastq shortcut
+    "fusedlayer+nolastq": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                           "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                           "last_query_only": 0, "fused_layer": 1},
 }
 
 

@@ -423,6 +423,51 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _LNParams(nn.Module):
+    """nn.LayerNorm-shaped params (scale/bias) without the computation."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return s, b
+
+
+class _MHAParams(nn.Module):
+    """Param tree of MultiHeadAttention (query/key/value/dense/LayerNorm)
+    for the whole-layer fused kernel — checkpoints transfer both ways."""
+
+    hidden_size: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        dense = [_DenseParams(self.hidden_size, self.hidden_size,
+                              self.kernel_init, name=n)()
+                 for n in ("query", "key", "value", "dense")]
+        ln = _LNParams(self.hidden_size, name="LayerNorm")()
+        return dense, ln
+
+
+class _FFNParams(nn.Module):
+    """Param tree of FeedForward (dense_1/dense_2/LayerNorm)."""
+
+    hidden_size: int
+    inner_size: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        d1 = _DenseParams(self.hidden_size, self.inner_size,
+                          self.kernel_init, name="dense_1")()
+        d2 = _DenseParams(self.inner_size, self.hidden_size,
+                          self.kernel_init, name="dense_2")()
+        ln = _LNParams(self.hidden_size, name="LayerNorm")()
+        return d1, d2, ln
+
+
 class FeedForward(nn.Module):
     """Pointwise FFN with residual post-LN (modules.py:319-355).
 
@@ -501,10 +546,46 @@ class TransformerLayer(nn.Module):
     head_stacked: bool = False
     fused_ffn: bool = False
     mask_remat: bool = False  # key-only-residual dropout VJP (Dropout8.remat)
+    # run the ENTIRE layer (qkv→attn→softmax→dropout→@V→proj→LN→FFN→LN) as
+    # one Pallas program per batch block (ops/layer.py) — no [B, H, L, L]
+    # or [B, L, D] intermediate ever reaches HBM. Param tree identical to
+    # the unfused path. Requires the mask to be a causal_attention_mask
+    # (key-padding row ⊗ optional causal triangle; `fused_causal` says
+    # which) — true for every model that uses TransformerEncoder. In-kernel
+    # PRNG dropout: same distribution, different stream (like rbg/bits8),
+    # so opt-in, measured lever.
+    fused_layer: bool = False
+    fused_causal: bool = True
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
         special = self.last_query or self.head_stacked
+        if self.fused_layer and not special and not self.qkv_packed:
+            from unirec_tpu.ops import layer as layer_ops
+            drop_on = train and (self.attn_dropout_prob > 0.0
+                                 or self.hidden_dropout_prob > 0.0)
+            # pltpu.prng_* has no CPU interpret lowering — dropout in-kernel
+            # is TPU-only, like ops/attention.py::short_attention
+            if layer_ops.fused_layer_supported(x, self.hidden_act,
+                                               self.n_heads) \
+                    and not (drop_on and layer_ops._INTERPRET):
+                (dense, ln1) = _MHAParams(self.hidden_size, self.kernel_init,
+                                          name="multi_head_attention")()
+                (d1, d2, ln2) = _FFNParams(self.hidden_size, self.inner_size,
+                                           self.kernel_init,
+                                           name="feed_forward")()
+                # row L-1 of the additive mask is exactly the key-padding
+                # additive row (the causal triangle allows all keys there)
+                madd = attn_mask[:, 0, -1, :].astype(jnp.float32)
+                params = tuple(dense) + (ln1, d1, d2, ln2)
+                return layer_ops.fused_transformer_layer(
+                    x, madd, params, n_heads=self.n_heads,
+                    inner_size=self.inner_size, hidden_act=self.hidden_act,
+                    layer_norm_eps=self.layer_norm_eps,
+                    p_attn=self.attn_dropout_prob,
+                    p_hidden=self.hidden_dropout_prob,
+                    causal=self.fused_causal, train=train,
+                    dropout_rng=self.make_rng("dropout") if drop_on else None)
         x = MultiHeadAttention(self.n_heads, self.hidden_size,
                                self.hidden_dropout_prob, self.attn_dropout_prob,
                                self.layer_norm_eps, self.kernel_init,
@@ -563,6 +644,11 @@ class TransformerEncoder(nn.Module):
     # backward from the rng key (Dropout8.remat). Same masks, same loss;
     # bits8 path only. Opt-in, measured lever (config dropout_mask_remat=1).
     mask_remat: bool = False
+    # whole-layer Pallas kernel per full-length layer (ops/layer.py) —
+    # composes with last_query_only (the single-query final layer keeps its
+    # own cheap path). Opt-in, measured lever (config fused_layer=1).
+    fused_layer: bool = False
+    fused_causal: bool = True
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
@@ -579,6 +665,7 @@ class TransformerEncoder(nn.Module):
                           self.use_fused, self.dtype, self.direct_layout,
                           self.bits8, self.qkv_packed, last_q,
                           self.head_stacked, self.fused_ffn, self.mask_remat,
+                          self.fused_layer, self.fused_causal,
                           name=f"layer_{i}")(x, attn_mask, train)
         return x
 

@@ -67,7 +67,12 @@ class SASRec(SeqRecBase):
             fused_ffn=bool(c.get("use_fused_ffn", 0)),
             # regenerate dropout byte masks in backward instead of storing
             # them (modules.Dropout8.remat); same masks/loss, opt-in
-            mask_remat=bool(c.get("dropout_mask_remat", 0)))
+            mask_remat=bool(c.get("dropout_mask_remat", 0)),
+            # whole-layer Pallas kernel (ops/layer.py): one program per
+            # batch block runs qkv→attention→proj→LN→FFN→LN with nothing
+            # but x/y touching HBM. Opt-in, measured lever
+            fused_layer=bool(c.get("fused_layer", 0)),
+            fused_causal=self.use_pos_emb)
         self.input_ln = nn.LayerNorm(epsilon=float(c.get("layer_norm_eps", 1e-12)),
                                      dtype=self.compute_dtype, name="LayerNorm")
         if int(c.get("dropout_bits", 32)) == 8:
