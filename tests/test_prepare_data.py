@@ -47,3 +47,41 @@ def test_prepare_and_train(tmp_path):
                 epochs=2, exp_name="prep")
     result = main.run(conf)
     assert result is not None and 0 <= result["hit@5"] <= 1
+
+
+def test_convert_adjacency_and_train(tmp_path):
+    """CF benchmark adjacency splits ("user item item ...", the yelp2018 /
+    gowalla layout the reference ingests in run_prepare_data-CF_8_1_1.sh)
+    convert to T1 train + T5 valid/test and drive a full MF run."""
+    from unirec_tpu.data.prepare import convert_adjacency
+
+    rng = np.random.default_rng(5)
+    split_dir = os.path.join(str(tmp_path), "splits")
+    os.makedirs(split_dir)
+    n_users, n_items = 40, 60
+    for fname, lo, hi in (("train.txt", 5, 12), ("val.txt", 1, 3),
+                          ("test.txt", 1, 3)):
+        with open(os.path.join(split_dir, fname), "w") as f:
+            for u in range(n_users):
+                items = rng.choice(n_items, size=rng.integers(lo, hi),
+                                   replace=False)
+                f.write(" ".join([str(u)] + [str(i) for i in items]) + "\n")
+
+    out = os.path.join(str(tmp_path), "data")
+    info = convert_adjacency(split_dir, out)
+    assert info["n_users"] == n_users + 1  # ids shifted by one (0 = pad)
+    assert info["n_items"] <= n_items + 1
+    assert info["valid_file_format"] == "user-item_seq"
+    train = pd.read_pickle(os.path.join(out, "train.pkl"))
+    assert set(train.columns) == {"user_id", "item_id"}
+    assert int(train["item_id"].min()) >= 1
+    test = pd.read_pickle(os.path.join(out, "test.pkl"))
+    assert len(test) == n_users and test["user_id"].is_unique
+
+    conf = copy.deepcopy(BASE_CONF)
+    conf.update(model="MF", dataloader="BaseDataset", loss_type="bpr",
+                has_user_emb=True, dataset="cf-adj", dataset_path=out,
+                output_path=os.path.join(str(tmp_path), "run"), task="train",
+                epochs=2, exp_name="adj")
+    result = main.run(conf)
+    assert result is not None and 0 <= result["hit@5"] <= 1

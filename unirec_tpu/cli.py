@@ -20,7 +20,7 @@ from unirec_tpu import config as config_mod
 
 COMMANDS = ("train", "test", "infer", "infer-embedding", "reco-topk",
             "prepare-data", "download-data", "convert-splits",
-            "prepare-adaranker", "export", "sweep")
+            "convert-adjacency", "prepare-adaranker", "export", "sweep")
 
 
 def main(argv=None):
@@ -90,6 +90,13 @@ def main(argv=None):
         from unirec_tpu.data.prepare import convert_splits
         kw = config_mod.parse_cmd_arguments(rest)
         print(convert_splits(kw.pop("split_dir"), kw.pop("out_dir"), **kw))
+        return 0
+    if cmd == "convert-adjacency":
+        # CF benchmark splits (yelp2018/gowalla/amazon-book "user item..."
+        # lines) — role of the reference's run_prepare_data-CF_8_1_1.sh
+        from unirec_tpu.data.prepare import convert_adjacency
+        kw = config_mod.parse_cmd_arguments(rest)
+        print(convert_adjacency(kw.pop("split_dir"), kw.pop("out_dir"), **kw))
         return 0
     if cmd == "sweep":
         from unirec_tpu.facility.sweep import run_sweep

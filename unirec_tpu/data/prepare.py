@@ -161,3 +161,68 @@ def convert_splits(split_dir: str, out_dir: str,
     }
     file_io.save_data_info(out_dir, info)
     return info
+
+
+def convert_adjacency(split_dir: str, out_dir: str, sep: str = " ",
+                      index_from_zero: bool = True) -> Dict[str, Any]:
+    """Convert pre-split adjacency text files into training-ready pkls.
+
+    The CF benchmark datasets (yelp2018 / gowalla / amazon-book) ship as
+    ``train.txt / val.txt / test.txt`` where each line is
+    ``user item item item ...`` — the format the reference ingests with
+    per-file ``*_file_format='user_item_seq'`` flags
+    (examples/preprocess/run_prepare_data-CF_8_1_1.sh:29-50 driving
+    preprocess/prepare_data.py). Output: T1 exploded train rows (so every
+    dataloader works), T5 ``user-item_seq`` valid/test (multi-positive
+    one_vs_all evaluation), ``user_history.pkl`` from train, ``data.info``.
+
+    ``index_from_zero`` shifts raw 0-based ids up by one so id 0 stays the
+    padding slot, mirroring prepare_data's convention above.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    shift = 1 if index_from_zero else 0
+    names = {"train": "train.txt", "valid": "val.txt", "test": "test.txt"}
+    seqs: Dict[str, Dict[int, np.ndarray]] = {}
+    n_users = n_items = 0
+    for split, fname in names.items():
+        path = os.path.join(split_dir, fname)
+        if split != "train" and not os.path.exists(path):
+            continue
+        rows: Dict[int, np.ndarray] = {}
+        with open(path) as f:
+            for line in f:
+                parts = line.split(sep if sep != " " else None)
+                if not parts or parts[0] == "":
+                    continue
+                u = int(parts[0]) + shift
+                items = np.asarray([int(t) + shift for t in parts[1:]],
+                                   np.int64)
+                if len(items) == 0:
+                    continue
+                rows[u] = items
+                n_users = max(n_users, u + 1)
+                n_items = max(n_items, int(items.max()) + 1)
+        seqs[split] = rows
+
+    train = seqs["train"]
+    t_rows = [(u, int(it)) for u, items in train.items() for it in items]
+    pd.DataFrame(t_rows, columns=["user_id", "item_id"]).to_pickle(
+        os.path.join(out_dir, "train.pkl"))
+    pd.DataFrame({"user_id": list(train), "item_seq": list(train.values())}) \
+        .to_pickle(os.path.join(out_dir, "user_history.pkl"))
+    for split in ("valid", "test"):
+        rows = seqs.get(split, {})
+        pd.DataFrame({"user_id": list(rows),
+                      "item_seq": list(rows.values())}).to_pickle(
+            os.path.join(out_dir, f"{split}.pkl"))
+
+    info = {
+        "n_users": n_users, "n_items": n_items,
+        "n_feats": 1 + n_users + n_items,
+        "train_file_format": "user-item",
+        "valid_file_format": "user-item_seq",
+        "test_file_format": "user-item_seq",
+        "user_history_file_format": "user-item_seq",
+    }
+    file_io.save_data_info(out_dir, info)
+    return info
