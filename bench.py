@@ -95,8 +95,12 @@ def build(**overrides):
         # windowing. Kernel / sorted-grad / remat / direct-layout variants
         # measured slower or a wash and stay opt-in
         # (docs/performance_notes.md).
+        # round-4 lever: whole-transformer-layer Pallas kernel for the
+        # full-length layers (ops/layer.py) — measured 124.9 -> 112.0
+        # ms/step (bench/bench_step_variants.py lastq+fusedlayer)
         "compute_dtype": "bfloat16", "dropout_rng_impl": "rbg",
-        "dropout_bits": 8, "last_query_only": 1, **overrides,
+        "dropout_bits": 8, "last_query_only": 1, "fused_layer": 1,
+        **overrides,
     }, argv=[])
     model = get_model_class("SASRec")(cfg=cfg)
     tx = build_optimizer(cfg)
