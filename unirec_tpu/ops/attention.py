@@ -24,6 +24,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from unirec_tpu.ops.common import mm_precision
+
 MASK_VALUE = -1e4  # matches the reference additive mask (sasrec.py:56)
 
 _INTERPRET = False  # flipped by tests on CPU
@@ -257,9 +259,10 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, o_ref,
     Q = q_ref[...].reshape(mb * Lp, D)
     K = k_ref[...].reshape(mb * Lp, D)
     V = v_ref[...].reshape(mb * Lp, D)
-    S = jnp.dot(Q, K.T, preferred_element_type=jnp.float32)
+    prec = mm_precision(Q.dtype)
+    S = jnp.dot(Q, K.T, preferred_element_type=jnp.float32, precision=prec)
     P = _dropped_probs(S, m_ref, p_drop, mb, Lp, scale, Q.dtype)
-    O = jnp.dot(P, V, preferred_element_type=jnp.float32)
+    O = jnp.dot(P, V, preferred_element_type=jnp.float32, precision=prec)
     o_ref[...] = O.reshape(mb, Lp, D).astype(o_ref.dtype)
 
 
@@ -275,11 +278,13 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, do_ref,
     K = k_ref[...].reshape(mb * Lp, D)
     V = v_ref[...].reshape(mb * Lp, D)
     dO = do_ref[...].reshape(mb * Lp, D)
-    S = jnp.dot(Q, K.T, preferred_element_type=jnp.float32)
+    prec = mm_precision(Q.dtype)
+    S = jnp.dot(Q, K.T, preferred_element_type=jnp.float32, precision=prec)
 
     # recompute y (pre-dropout softmax) and z (post-dropout) blockwise; also
     # build dy = dropout-bwd(dZ) and ds = softmax-bwd(dy) in the same pass
-    dZ = jnp.dot(dO, V.T, preferred_element_type=jnp.float32)
+    dZ = jnp.dot(dO, V.T, preferred_element_type=jnp.float32,
+                 precision=prec)
     z_blocks, ds_blocks = [], []
     inv = 1.0 / (1.0 - p_drop) if p_drop > 0.0 else 1.0
     for i in range(mb):
@@ -301,9 +306,12 @@ def _fused_bwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, do_ref,
         ds_blocks.append((y * (dy - t)).astype(Q.dtype))
     Zb = _block_diag(z_blocks, Lp, mb)
     dS = _block_diag(ds_blocks, Lp, mb)
-    dv = jnp.dot(Zb.T, dO, preferred_element_type=jnp.float32)
-    dq = jnp.dot(dS, K, preferred_element_type=jnp.float32) * scale
-    dk = jnp.dot(dS.T, Q, preferred_element_type=jnp.float32) * scale
+    dv = jnp.dot(Zb.T, dO, preferred_element_type=jnp.float32,
+                 precision=prec)
+    dq = jnp.dot(dS, K, preferred_element_type=jnp.float32,
+                 precision=prec) * scale
+    dk = jnp.dot(dS.T, Q, preferred_element_type=jnp.float32,
+                 precision=prec) * scale
     dq_ref[...] = dq.reshape(mb, Lp, D).astype(dq_ref.dtype)
     dk_ref[...] = dk.reshape(mb, Lp, D).astype(dk_ref.dtype)
     dv_ref[...] = dv.reshape(mb, Lp, D).astype(dv_ref.dtype)

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from unirec_tpu.ops.common import mm_precision
+
 _SQRT_2_OVER_PI = 0.7978845608028654
 
 
@@ -56,10 +58,11 @@ def _act_and_grad(pre, act: str):
 
 
 def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, act):
-    pre = jnp.dot(x_ref[...], w1_ref[...],
+    prec = mm_precision(x_ref.dtype, w1_ref.dtype)
+    pre = jnp.dot(x_ref[...], w1_ref[...], precision=prec,
                   preferred_element_type=jnp.float32) + b1_ref[...]
     h, _ = _act_and_grad(pre, act)
-    y = jnp.dot(h.astype(w2_ref.dtype), w2_ref[...],
+    y = jnp.dot(h.astype(w2_ref.dtype), w2_ref[...], precision=prec,
                 preferred_element_type=jnp.float32) + b2_ref[...]
     o_ref[...] = y.astype(o_ref.dtype)
 
@@ -74,11 +77,14 @@ def _bwd_kernel(x_ref, dy_ref, w1_ref, w2_ref, b1_ref,
         db2_ref[...] = jnp.zeros_like(db2_ref)
 
     dot = functools.partial(jax.lax.dot_general,
+                            precision=mm_precision(x_ref.dtype,
+                                                   w1_ref.dtype),
                             preferred_element_type=jnp.float32)
     x = x_ref[...]
     dyf = dy_ref[...].astype(jnp.float32)
     dy = dy_ref[...].astype(x.dtype)
     pre = jnp.dot(x, w1_ref[...],
+                  precision=mm_precision(x.dtype, w1_ref.dtype),
                   preferred_element_type=jnp.float32) + b1_ref[...]
     h, dact = _act_and_grad(pre, act)
     # all grad matmuls written as contractions — no in-kernel transposes

@@ -51,6 +51,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from unirec_tpu.ops.common import mm_precision
+
+
+def _dot(a, b):
+    """In-kernel matmul: f32 accumulation; precision pinned per operand
+    dtype (ops/common.py::mm_precision — ambient 'highest' would be a
+    Mosaic compile error for bf16 operands)."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=mm_precision(a.dtype, b.dtype))
+
 MASK_VALUE = -1e4  # reference additive mask (sasrec.py:56)
 
 _INTERPRET = False  # flipped by tests on CPU
@@ -152,7 +162,8 @@ def _bdot(a, b, contract_a, contract_b):
     """Batched (leading-dim) matmul with f32 accumulation."""
     return jax.lax.dot_general(
         a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=mm_precision(a.dtype, b.dtype))
 
 
 def _attention_heads(x2, madd, wqkv, bqkv, seed_ref, *, mb, L, nh, hd,
@@ -168,7 +179,7 @@ def _attention_heads(x2, madd, wqkv, bqkv, seed_ref, *, mb, L, nh, hd,
     """
     D = nh * hd
     dt = x2.dtype
-    qkv = (jnp.dot(x2, wqkv, preferred_element_type=jnp.float32)
+    qkv = (_dot(x2, wqkv)
            .astype(dt) + bqkv)
     scale = 1.0 / float(np.sqrt(hd))
     # additive mask [MB, L, L] in f32: key-pad row broadcast over queries,
@@ -218,17 +229,17 @@ def _layer_fwd_kernel(x_ref, madd_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     _, ctx, _ = _attention_heads(
         x2, madd_ref[...], wqkv_ref[...], bqkv_ref[...], seed_ref,
         mb=mb, L=L, nh=nh, hd=hd, p_attn=p_attn, causal=causal, train=train)
-    o = (jnp.dot(ctx, wo_ref[...], preferred_element_type=jnp.float32)
+    o = (_dot(ctx, wo_ref[...])
          .astype(dt) + bo_ref[...])
     if train:
         o = _dropped(o, seed_ref, nh, p_hidden)
     r1 = (o + x2).astype(jnp.float32)
     x1f, _, _ = _ln_fwd(r1, g1_ref[...], c1b_ref[...], eps)
     x1 = x1f.astype(dt)
-    u = (jnp.dot(x1, w1_ref[...], preferred_element_type=jnp.float32)
+    u = (_dot(x1, w1_ref[...])
          .astype(dt) + b1_ref[...])
     hm = act_f(u.astype(jnp.float32)).astype(dt)
-    h2 = (jnp.dot(hm, w2_ref[...], preferred_element_type=jnp.float32)
+    h2 = (_dot(hm, w2_ref[...])
           .astype(dt) + b2_ref[...])
     if train:
         h2 = _dropped(h2, seed_ref, nh + 1, p_hidden)
@@ -259,7 +270,7 @@ def _layer_bwd_kernel(x_ref, madd_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         x2, madd_ref[...], wqkv_ref[...], bqkv_ref[...], seed_ref,
         mb=mb, L=L, nh=nh, hd=hd, p_attn=p_attn, causal=causal,
         train=train, save=True)
-    o = (jnp.dot(ctx, wo_ref[...], preferred_element_type=jnp.float32)
+    o = (_dot(ctx, wo_ref[...])
          .astype(dt) + bo_ref[...])
     if train and p_hidden > 0.0:
         pltpu.prng_seed(_site_seed(seed_ref, nh))
@@ -270,11 +281,11 @@ def _layer_bwd_kernel(x_ref, madd_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     r1 = (od + x2).astype(jnp.float32)
     x1f, xhat1, rs1 = _ln_fwd(r1, g1_ref[...], c1b_ref[...], eps)
     x1 = x1f.astype(dt)
-    u = (jnp.dot(x1, w1_ref[...], preferred_element_type=jnp.float32)
+    u = (_dot(x1, w1_ref[...])
          .astype(dt) + b1_ref[...])
     uf = u.astype(jnp.float32)
     hm = act_f(uf).astype(dt)
-    h2 = (jnp.dot(hm, w2_ref[...], preferred_element_type=jnp.float32)
+    h2 = (_dot(hm, w2_ref[...])
           .astype(dt) + b2_ref[...])
     if train and p_hidden > 0.0:
         pltpu.prng_seed(_site_seed(seed_ref, nh + 1))
@@ -294,14 +305,13 @@ def _layer_bwd_kernel(x_ref, madd_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     if train and p_hidden > 0.0:
         dh2 = jnp.where(keep_2, dh2 * inv_h, 0.0)
     dh2 = dh2.astype(dt)
-    dw2_ref[...] = jnp.dot(hm.T, dh2, preferred_element_type=jnp.float32)
+    dw2_ref[...] = _dot(hm.T, dh2)
     db2_ref[...] = jnp.sum(dh2.astype(jnp.float32), axis=0, keepdims=True)
-    dhm = jnp.dot(dh2, w2_ref[...].T, preferred_element_type=jnp.float32)
+    dhm = _dot(dh2, w2_ref[...].T)
     du = (dhm * act_df(uf)).astype(dt)
-    dw1_ref[...] = jnp.dot(x1.T, du, preferred_element_type=jnp.float32)
+    dw1_ref[...] = _dot(x1.T, du)
     db1_ref[...] = jnp.sum(du.astype(jnp.float32), axis=0, keepdims=True)
-    dx1 = dr2 + jnp.dot(du, w1_ref[...].T,
-                        preferred_element_type=jnp.float32)
+    dx1 = dr2 + _dot(du, w1_ref[...].T)
     dr1, dg1, db1 = _ln_bwd(dx1, xhat1, rs1, g1_ref[...])
     dg1_ref[...] = dg1
     dc1b_ref[...] = db1
@@ -309,10 +319,9 @@ def _layer_bwd_kernel(x_ref, madd_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     if train and p_hidden > 0.0:
         do = jnp.where(keep_o, do * inv_h, 0.0)
     do = do.astype(dt)
-    dwo_ref[...] = jnp.dot(ctx.T, do, preferred_element_type=jnp.float32)
+    dwo_ref[...] = _dot(ctx.T, do)
     dbo_ref[...] = jnp.sum(do.astype(jnp.float32), axis=0, keepdims=True)
-    dctx = jnp.dot(do, wo_ref[...].T,
-                   preferred_element_type=jnp.float32).astype(dt)
+    dctx = _dot(do, wo_ref[...].T).astype(dt)
     dq_parts, dk_parts, dv_parts = [], [], []
     for h in range(nh):
         qh, kh, vh, p = heads[h]                            # p: PRE-dropout
@@ -335,18 +344,23 @@ def _layer_bwd_kernel(x_ref, madd_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
             [pp.astype(dt).reshape(mb * L, hd) for pp in parts], axis=-1)
     dqkv = jnp.concatenate([stack_heads(dq_parts), stack_heads(dk_parts),
                             stack_heads(dv_parts)], axis=-1)
-    dwqkv_ref[...] = jnp.dot(x2.T, dqkv, preferred_element_type=jnp.float32)
+    dwqkv_ref[...] = _dot(x2.T, dqkv)
     dbqkv_ref[...] = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
-    dx = dr1 + jnp.dot(dqkv, wqkv_ref[...].T,
-                       preferred_element_type=jnp.float32)
+    dx = dr1 + _dot(dqkv, wqkv_ref[...].T)
     dx_ref[...] = dx.astype(dt).reshape(mb, L, D)
 
 
 # ------------------------------------------------------------------ wrappers
 def _block_rows(B: int, env: str, default: int) -> int:
+    """Largest power-of-two block <= default that divides B — constrained to
+    Mosaic's rule that a block's second-to-last dim must be a multiple of 8
+    or equal the array dim (the [mb, Lp] madd spec): odd/small batches fall
+    back to one full-batch program."""
     mb = int(os.environ.get(env) or default)
-    while mb > 1 and B % mb:
+    while mb > 8 and B % mb:
         mb //= 2
+    if B % mb or (mb % 8 and mb != B):
+        return B
     return max(mb, 1)
 
 

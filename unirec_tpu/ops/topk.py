@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from unirec_tpu.ops.common import mm_precision
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -223,7 +225,9 @@ def _blockmax_kernel(u_ref, it_ref, bm_ref, *, ch):
     # sublane reduction — the [IB, UB] -> [IB/ch, ch, UB] reshape is a free
     # view (leading-dim split), no lane relayout
     s = jax.lax.dot_general(it_ref[:], u_ref[:], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=mm_precision(it_ref.dtype,
+                                                   u_ref.dtype))
     bm_ref[:] = s.reshape(s.shape[0] // ch, ch, s.shape[1]).max(axis=1)
 
 
@@ -234,7 +238,8 @@ def _blockmax_kernel_q(u_ref, it_ref, sc_ref, bm_ref, *, ch):
     # dequantized-dense scores bit for bit.
     it = it_ref[:].astype(jnp.bfloat16)
     s = jax.lax.dot_general(it, u_ref[:], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=mm_precision(it.dtype, u_ref.dtype))
     s = s * sc_ref[:]                       # [IB, 1] per-item scales
     bm_ref[:] = s.reshape(s.shape[0] // ch, ch, s.shape[1]).max(axis=1)
 
