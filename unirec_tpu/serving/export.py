@@ -34,18 +34,25 @@ def _serve_fns(model, params, constants, config):
     L = int(config.get("max_seq_len", 10))
     is_seqrec = bool(getattr(model, "is_seqrec", False))
 
+    # outputs pinned to f32 regardless of the model's compute_dtype (the
+    # TPU default is bf16): serving clients read fixed-size f32 buffers —
+    # a dtype that shifts with the training config would silently change
+    # the artifact ABI (caught by the C++ client's size check)
     def user_emb(user_id, item_seq, item_seq_len):
         batch = {"user_id": user_id, "item_seq": item_seq,
                  "item_seq_len": item_seq_len}
-        return model.apply(variables(), batch, method="user_emb")
+        return model.apply(variables(), batch,
+                           method="user_emb").astype(jnp.float32)
 
     def item_emb(item_id):
-        return model.apply(variables(), item_id, None, method="item_emb")
+        return model.apply(variables(), item_id, None,
+                           method="item_emb").astype(jnp.float32)
 
     def score(user_id, item_seq, item_seq_len, item_id):
         batch = {"user_id": user_id, "item_seq": item_seq,
                  "item_seq_len": item_seq_len, "item_id": item_id}
-        return model.apply(variables(), batch, method="predict")
+        return model.apply(variables(), batch,
+                           method="predict").astype(jnp.float32)
 
     return user_emb, item_emb, score, L, is_seqrec
 
