@@ -4,11 +4,16 @@ shape tests, test_seq_model.py:264-340)."""
 import copy
 import os
 
+import jax
 import numpy as np
 import pytest
 
 from tests.synth import BASE_CONF
 from unirec_tpu.main import infer_embedding, main, reco_topk
+
+needs_mesh = pytest.mark.skipif(
+    jax.device_count() < 8,
+    reason="needs the 8-device virtual CPU mesh (1-chip TPU run)")
 
 
 @pytest.fixture(scope="module")
@@ -19,6 +24,9 @@ def trained_ckpt(synth_dataset, tmp_path_factory):
     conf.update(model="SASRec", dataloader="SeqRecDataset",
                 loss_type="fullsoftmax", n_sample_neg_train=0,
                 n_layers=1, dataset_path=root, output_path=out,
+                # f32 even on TPU (bf16 default): the exact-match serving
+                # tests below compare near-tied rankings across programs
+                compute_dtype="float32",
                 task="train", epochs=2, exp_name="clitest")
     main.run(conf)
     return root, os.path.join(out, "checkpoint", "clitest.pkl"), out
@@ -162,6 +170,7 @@ def test_reco_topk_approx_mode(trained_ckpt, tmp_path):
     assert np.mean(recalls) >= 0.9
 
 
+@needs_mesh
 def test_reco_topk_sharded_matches_single(trained_ckpt, tmp_path):
     """reco-topk over a row-sharded catalog (mesh_model=8) returns exactly
     the single-device recommendations — the distributed serving path."""
@@ -212,6 +221,7 @@ def test_reco_topk_int8_catalog(trained_ckpt, tmp_path):
     assert np.mean(recalls) >= 0.85, np.mean(recalls)
 
 
+@needs_mesh
 def test_reco_topk_sharded_int8(trained_ckpt, tmp_path):
     """int8 catalogs compose with the row-sharded serving path: each shard
     holds its int8 slice + scale; results match the single-device int8

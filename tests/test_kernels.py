@@ -464,7 +464,9 @@ def test_remat_attention_matches_default():
         "embedding_size": 16, "hidden_size": 16, "inner_size": 32,
         "n_layers": 2, "n_heads": 2, "loss_type": "bce", "group_size": -1,
         "dataloader": "SeqRecDataset", "n_sample_neg_train": 2,
-        "use_pallas": 0}
+        # pin f32: the numerically-identical claim is per-dtype (the TPU
+        # bf16 default reorders fused rounding between the two programs)
+        "use_pallas": 0, "compute_dtype": "float32"}
     m0 = get_model_class("SASRec")(cfg=config_mod.parse_arguments(dict(base), argv=[]))
     m1 = get_model_class("SASRec")(
         cfg=config_mod.parse_arguments(dict(base, remat_attention=1), argv=[]))
@@ -964,6 +966,9 @@ def test_sasrec_fused_ffn_matches_full():
             "max_seq_len": 10, "embedding_size": 16, "hidden_size": 16,
             "inner_size": 32, "n_layers": 2, "n_heads": 2, "loss_type": "bce",
             "hidden_dropout_prob": 0.1, "attn_dropout_prob": 0.1,
+            # f32 even on TPU (bf16 default): the 1e-4 fused-vs-unfused
+            # comparison below is an f32-precision claim
+            "compute_dtype": "float32",
             "dataloader": "SeqRecDataset", **kw,
         }, argv=[])
         return get_model_class("SASRec")(cfg=cfg)
@@ -1095,6 +1100,9 @@ def test_dropout_mask_remat_bit_identical():
         "n_layers": 2, "n_heads": 2, "loss_type": "bce", "group_size": -1,
         "dataloader": "SeqRecDataset", "n_sample_neg_train": 2,
         "use_pallas": 0, "dropout_bits": 8,
+        # pin f32 so the bit-identity claim holds on TPU too (the TPU
+        # default is bf16, where reassociation noise breaks exact equality)
+        "compute_dtype": "float32",
         "hidden_dropout_prob": 0.3, "attn_dropout_prob": 0.2}
     m0 = get_model_class("SASRec")(
         cfg=config_mod.parse_arguments(dict(base), argv=[]))
