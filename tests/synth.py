@@ -156,6 +156,54 @@ def generate(root: str, n_users: int = N_USERS, n_items: int = N_ITEMS,
     return info
 
 
+def gen_ml100k_shaped(out_dir: str, seed: int = 7, n_users: int = 943,
+                      n_items: int = 1682, n_ratings: int = 100_000) -> None:
+    """Write a synthetic RAW dataset with ml-100k's shape and marginals:
+    ``u.data`` (user \\t item \\t rating \\t timestamp) and ``u.item``
+    (pipe-separated, 19 genre flags) at 943 users x 1682 items x ~100k
+    ratings, zipf item popularity, lognormal per-user activity with the
+    ml-100k >=20-ratings-per-user guarantee, and the real rating marginal
+    (~{1:6, 2:11, 3:27, 4:34, 5:22}%).
+
+    Purpose: a full-scale dress rehearsal of the golden ml-100k run
+    (reference tests/test_model/test_seq_model.py:21-75) in environments
+    with no network egress — everything (preprocessing, configs, epochs,
+    seeds) is identical to test_golden_ml100k.py except the ratings
+    themselves are synthetic.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    pop = 1.0 / np.arange(1, n_items + 1) ** 0.9
+    pop = rng.permutation(pop)
+    pop /= pop.sum()
+    counts = np.minimum(
+        np.maximum(rng.lognormal(3.8, 0.9, n_users), 20), 700).astype(int)
+    counts = np.maximum(
+        (counts * (n_ratings / counts.sum())).astype(int), 20)
+    rating_p = np.array([0.06, 0.11, 0.27, 0.34, 0.22])
+    rating_p /= rating_p.sum()
+    rows = []
+    t0 = 874_000_000  # ml-100k's epoch range (1997)
+    for u in range(1, n_users + 1):
+        k = counts[u - 1]
+        items = rng.choice(n_items, size=min(k * 2, n_items), replace=False,
+                           p=pop)[:k] + 1
+        ts = np.sort(rng.integers(0, 20_000_000, len(items))) + t0
+        r = rng.choice([1, 2, 3, 4, 5], size=len(items), p=rating_p)
+        rows.append(np.stack([np.full(len(items), u), items, r, ts], axis=1))
+    df = pd.DataFrame(np.concatenate(rows),
+                      columns=["user_id", "item_id", "rating", "timestamp"])
+    df.to_csv(os.path.join(out_dir, "u.data"), sep="\t", header=False,
+              index=False)
+    with open(os.path.join(out_dir, "u.item"), "w",
+              encoding="ISO-8859-1") as f:
+        for i in range(1, n_items + 1):
+            g = np.zeros(19, int)
+            g[rng.integers(0, 19, rng.integers(1, 4))] = 1
+            f.write(f"{i}|title{i}|01-Jan-1995||url{i}|"
+                    + "|".join(map(str, g)) + "\n")
+
+
 BASE_CONF = {
     "dataset": "synth",
     "exp_name": "pytest",

@@ -10,11 +10,7 @@ weights_only default). Metric definitions are already proven identical in
 test_reference_parity.py; this covers the full train->eval pipeline.
 """
 import copy
-import functools
-import importlib.machinery
 import os
-import sys
-import types
 
 import numpy as np
 import pandas as pd
@@ -23,71 +19,10 @@ import pytest
 REFERENCE = "/root/reference"
 
 
-def _stub(name, attrs=None):
-    m = types.ModuleType(name)
-    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-    for k, v in (attrs or {}).items():
-        setattr(m, k, v)
-    sys.modules[name] = m
-    return m
-
-
 @pytest.fixture(scope="module")
 def reference_env(tmp_path_factory):
-    if "numba" not in sys.modules or not hasattr(sys.modules["numba"], "jit"):
-        numba = _stub("numba")
-
-        def jit(*a, **k):
-            if a and callable(a[0]):
-                return a[0]
-            return lambda f: f
-
-        numba.jit = jit
-        numba.prange = range
-    _stub("setproctitle", {"setproctitle": lambda *a, **k: None})
-    if "wandb" not in sys.modules:
-        _stub("wandb")
-
-    class _P:
-        def __init__(self, *a, **k):
-            pass
-
-    if "cvxpy" not in sys.modules:
-        _stub("cvxpy", {"Parameter": _P, "Variable": _P, "Maximize": _P,
-                        "Problem": _P, "sum": lambda *a, **k: None,
-                        "neg": lambda *a, **k: None,
-                        "max": lambda *a, **k: None, "GLPK": None})
-    _stub("feather", {"read_dataframe": pd.read_feather})
-    if not hasattr(np, "Inf"):
-        np.Inf = np.inf
-        np.NINF = -np.inf
-    import torch
-    if "verbose" not in str(torch.optim.lr_scheduler.ReduceLROnPlateau.__init__.__doc__ or ""):
-        base = torch.optim.lr_scheduler.ReduceLROnPlateau
-
-        class _RLP(base):
-            def __init__(self, *a, verbose=False, **k):
-                super().__init__(*a, **k)
-
-        torch.optim.lr_scheduler.ReduceLROnPlateau = _RLP
-    if not isinstance(torch.load, functools.partial):
-        torch.load = functools.partial(torch.load, weights_only=False)
-    # sklearn>=1.6 returns a plain Python float from roc_auc_score; the
-    # reference treats it as a numpy scalar (e.g. evaluator merge paths).
-    import sklearn.metrics as _skm
-    if not getattr(_skm.roc_auc_score, "_np_wrapped", False):
-        _orig_auc = _skm.roc_auc_score
-        _wrapped = functools.wraps(_orig_auc)(
-            lambda *a, **k: np.float64(_orig_auc(*a, **k)))
-        _wrapped._np_wrapped = True
-        _skm.roc_auc_score = _wrapped
-    # scipy>=1.14 removed sparse.spmatrix.A (used by the reference's
-    # AdmmSLIM, admmslim.py:34-35); restore it as a toarray alias.
-    import scipy.sparse
-    if not hasattr(scipy.sparse.csr_matrix, "A"):
-        scipy.sparse.spmatrix.A = property(lambda self: self.toarray())
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
+    from tests.refshim import setup_reference_shims
+    setup_reference_shims()
 
     # the reference resolves dataset yaml from its config dir (read-only);
     # give it a writable copy with the synth dataset registered
@@ -327,6 +262,13 @@ _RANK_COMMON = {
     ("AdaRanker", dict(dataloader="SeqRecDataset", dataset="synthrank",
                        train_type="Ada-Ranker", base_model="GRU",
                        use_pre_item_emb=0, learning_rate=0.01)),
+    # apples-to-apples Ada mode: ours runs with ada_reference_init=1 so
+    # BOTH frameworks use the reference's zero-centered modulation inits
+    # (closing the only init deviation; see models/rank.py setup comment)
+    ("AdaRanker", dict(dataloader="SeqRecDataset", dataset="synthrank",
+                       train_type="Ada-Ranker", base_model="GRU",
+                       use_pre_item_emb=0, learning_rate=0.01,
+                       ada_reference_init=1, epochs=6)),
 ])
 def test_rank_models_match_reference(reference_env, synth_dataset, tmp_path,
                                      model, extra):
@@ -338,7 +280,11 @@ def test_rank_models_match_reference(reference_env, synth_dataset, tmp_path,
     case is the one where both frameworks genuinely learn (ref AUC≈0.91)."""
     root, info = synth_dataset
     common = dict(_RANK_COMMON, **extra)
-    tag = f"{model}-{extra.get('train_type', 'na')}"
+    # ada_reference_init is OUR flag (it makes our inits match the
+    # reference's defaults); the reference never sees it
+    ref_init = common.pop("ada_reference_init", 0)
+    tag = f"{model}-{extra.get('train_type', 'na')}" + (
+        "-refinit" if ref_init else "")
     ref = _run_reference(reference_env, root,
                          os.path.join(str(tmp_path), f"ref-{tag}"),
                          model=model, exp_name=f"ref-{tag}",
@@ -349,7 +295,8 @@ def test_rank_models_match_reference(reference_env, synth_dataset, tmp_path,
     ours = _run_ours(root, os.path.join(str(tmp_path), f"ours-{tag}"),
                      model=model, exp_name=f"ours-{tag}",
                      train_file_format=fmt, valid_file_format=fmt,
-                     test_file_format=fmt, **ours_conf)
+                     test_file_format=fmt, ada_reference_init=ref_init,
+                     **ours_conf)
     for m in ("auc", "group_auc"):
         assert ours[m] >= ref[m] - 0.05, (tag, m, ref, ours)
     # where the reference learns, we must genuinely learn too

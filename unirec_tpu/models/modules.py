@@ -753,6 +753,10 @@ class NeuProcessEncoder(nn.Module):
     hidden_size: int = 64
     output_size: int = 64
     dropout_prob: float = 0.4
+    # True → the reference's exact torch-default init for the log-sigma head
+    # (adaranker.py:192-196 / modules.py:445-498), giving initial std≈1;
+    # False (default) → bias -8 (std≈0.02), see the comment below.
+    reference_init: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -771,9 +775,12 @@ class NeuProcessEncoder(nn.Module):
         # (for encoders without an input LayerNorm, e.g. the GRU backbone)
         # drowns the history signal entirely; a small learnable initial std
         # preserves the stochastic design without that failure mode
+        logsig_bias = (torch_linear_bias_init(self.hidden_size)
+                       if self.reference_init
+                       else nn.initializers.constant(-8.0))
         log_sigma = nn.Dense(self.output_size,
                              kernel_init=torch_linear_kernel_init,
-                             bias_init=nn.initializers.constant(-8.0),
+                             bias_init=logsig_bias,
                              name="hidden_to_logsigma")(h2)
         if train:
             eps = jax.random.normal(self.make_rng("dropout"), mu.shape)

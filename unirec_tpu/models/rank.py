@@ -287,27 +287,44 @@ class AdaRanker(RankerBase):
         drop = float(c.get("dropout_prob", 0.0))
         self.mlp_dropout = nn.Dropout(drop)
         if self.ada:
+            # Default init: FiLM starts at the identity transform (gamma=1,
+            # beta=0) and weight/bias patches start at 1/0, so the Ada model
+            # equals the Base model at init and learns the modulation — the
+            # reference's zero-centered inits multiplicatively shrink the
+            # modulated paths ~10-100x at init and starve them of gradient.
+            # `ada_reference_init: 1` restores the reference's exact inits
+            # (adaranker.py:192-206, modules.py:445-620: torch-default Dense
+            # + xavier memory arrays) for apples-to-apples comparison runs.
+            ref_init = bool(int(c.get("ada_reference_init", 0)))
+            film_scale_bias = (modules.torch_linear_bias_init(D) if ref_init
+                               else nn.initializers.ones)
+            film_bias_bias = (modules.torch_linear_bias_init(D) if ref_init
+                              else nn.initializers.zeros)
+            mem_center = {"mem_w1": "one", "mem_b1": "zero",
+                          "mem_w2": "one", "mem_b2": "zero"}
+            if ref_init:
+                mem_center = {k: "xavier" for k in mem_center}
             self.extract_distribution_layer = modules.NeuProcessEncoder(
-                D, D, D, drop, name="extract_distribution_layer")
-            # FiLM starts at the identity transform (gamma=1, beta=0) and
-            # weight/bias patches start at 1/0, so the Ada model equals the
-            # Base model at init and learns the modulation — the reference's
-            # zero-centered inits multiplicatively shrink the modulated paths
-            # ~10-100x at init and starve them of gradient
+                D, D, D, drop, reference_init=ref_init,
+                name="extract_distribution_layer")
             self.film_scale = nn.Dense(1, kernel_init=modules.torch_linear_kernel_init,
-                                       bias_init=nn.initializers.ones,
+                                       bias_init=film_scale_bias,
                                        name="film_affine_emb_scale")
             self.film_bias = nn.Dense(1, kernel_init=modules.torch_linear_kernel_init,
-                                      bias_init=nn.initializers.zeros,
+                                      bias_init=film_bias_bias,
                                       name="film_affine_emb_bias")
             self.mem_w1 = modules.MemoryUnit(dnn_in, dnn_inner, D,
-                                             init_center="one", name="mem_w1")
+                                             init_center=mem_center["mem_w1"],
+                                             name="mem_w1")
             self.mem_b1 = modules.MemoryUnit(1, dnn_inner, D,
-                                             init_center="zero", name="mem_b1")
+                                             init_center=mem_center["mem_b1"],
+                                             name="mem_b1")
             self.mem_w2 = modules.MemoryUnit(dnn_inner, 1, D,
-                                             init_center="one", name="mem_w2")
+                                             init_center=mem_center["mem_w2"],
+                                             name="mem_w2")
             self.mem_b2 = modules.MemoryUnit(1, 1, D,
-                                             init_center="zero", name="mem_b2")
+                                             init_center=mem_center["mem_b2"],
+                                             name="mem_b2")
             self.mlp1 = modules.AdaLinear(dnn_in, dnn_inner, name="mlp_1")
             self.mlp2 = modules.AdaLinear(dnn_inner, 1, name="mlp_2")
         else:
