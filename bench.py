@@ -100,6 +100,7 @@ def build(**overrides):
         # ms/step (bench/bench_step_variants.py lastq+fusedlayer)
         "compute_dtype": "bfloat16", "dropout_rng_impl": "rbg",
         "dropout_bits": 8, "last_query_only": 1, "fused_layer": 1,
+        "fused_lastq": 1,
         **overrides,
     }, argv=[])
     model = get_model_class("SASRec")(cfg=cfg)
@@ -152,6 +153,25 @@ def main():
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     flops_per_step = float(ca.get("flops", float("nan")))
     bytes_per_step = float(ca.get("bytes accessed", float("nan")))
+    # XLA's cost analysis counts custom-calls as ZERO flops, so the Pallas
+    # whole-layer / last-query kernels (the bulk of the model's matmuls)
+    # vanish from it. Add their analytic counts back — fwd once, bwd as
+    # recompute + two matmul-grad passes (~3x fwd) — so the speed-of-light
+    # numbers keep meaning. (Bytes: the kernels only move x/y + weights,
+    # which cost_analysis already charges at the custom-call boundary.)
+    # bench model shape (config above): 1 full fused layer + 1 fused
+    # last-query layer, L padded 50 -> 56 by the kernels
+    L, D, F, H = SEQ_LEN + 6, EMB_DIM, 2 * EMB_DIM, 2
+    hd = D // H
+    full_layer_fwd = BATCH * (L * 2 * D * (3 * D + D + 2 * F)
+                              + 4 * H * L * L * hd)
+    lastq_fwd = BATCH * (L * 4 * D * D      # k/v projections, all rows
+                         + 2 * D * D        # q projection, one row
+                         + 4 * H * L * hd   # scores + probs@V, one query
+                         + 2 * D * D        # out projection
+                         + 4 * D * F)       # FFN, one row
+    kernel_flops = 4 * full_layer_fwd + 4 * lastq_fwd  # (1 fwd + ~3x bwd)
+    flops_per_step += kernel_flops
 
     params, opt_state, loss = step(params, opt_state, jb,
                                    jax.random.fold_in(key, 0))

@@ -146,6 +146,13 @@ VARIANTS = {
     "fusedlayer+nolastq": {"use_pallas": 0, "compute_dtype": "bfloat16",
                            "dropout_rng_impl": "rbg", "dropout_bits": 8,
                            "last_query_only": 0, "fused_layer": 1},
+    # round-4b: the single-query FINAL layer fused too
+    # (ops/layer.py::fused_last_query_layer) — K/V projections and their
+    # per-head transposes stay in VMEM instead of round-tripping HBM
+    "fusedlayer+fusedlastq": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                              "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                              "last_query_only": 1, "fused_layer": 1,
+                              "fused_lastq": 1},
 }
 
 

@@ -31,7 +31,7 @@ unirec-tpu train \
     --shuffle_train 1 --history_mask_mode autoregressive \
     --device_pipeline 1 --shard_embeddings 1 \
     --compute_dtype bfloat16 --dropout_rng_impl rbg --dropout_bits 8 \
-    --last_query_only 1 --fused_layer 1
+    --last_query_only 1 --fused_layer 1 --fused_lastq 1
 # Multi-host: run this same script on every host with
 #   --coordinator_address host0:1234 --num_processes N --process_id i
 # (docs/parallelism.md; expected scaling efficiency >=98.8% at 4 hosts —

@@ -1295,3 +1295,133 @@ def test_fused_layer_dropout_statistics_and_grad_consistency():
     fd = float((lossf(x + eps * v) - lossf(x - eps * v)) / (2 * eps))
     assert abs(jvp_via_grad - fd) < 5e-2 * (abs(fd) + 1.0), \
         (jvp_via_grad, fd)
+
+
+# -------------------------------------------------- last-query layer kernel
+def _lastq_setup(L=10, D=16, nh=2, F=32, B=4, act="swish", seed=0):
+    import unirec_tpu.ops.layer as LY
+    from unirec_tpu.models import modules
+
+    if not ON_TPU:
+        LY._INTERPRET = True
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    item_seq = rng.integers(0, 3, size=(B, L))
+    item_seq[:, -3:] = 1
+    mask = modules.causal_attention_mask(jnp.asarray(item_seq))
+    ref = modules.TransformerLayer(nh, D, F, 0.0, 0.0, act, 1e-12,
+                                   last_query=True)
+    fused = modules.TransformerLayer(nh, D, F, 0.0, 0.0, act, 1e-12,
+                                     last_query=True, fused_lastq=True)
+    variables = ref.init(jax.random.PRNGKey(0), x, mask, False)
+    return ref, fused, variables, x, mask
+
+
+@pytest.mark.parametrize("act,L", [
+    ("swish", 10),   # Lp padding path (10 -> 16)
+    ("gelu", 16),
+    ("relu", 8),
+])
+def test_fused_lastq_forward_matches_unfused(act, L):
+    """ops/layer.py::fused_last_query_layer == the unfused single-query
+    path in eval mode ([B, 1, D] output, identical param tree)."""
+    ref, fused, variables, x, mask = _lastq_setup(L=L, act=act)
+    vf = fused.init(jax.random.PRNGKey(0), x, mask, False)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(vf)
+    out_ref = ref.apply(variables, x, mask, False)
+    out_f = fused.apply(variables, x, mask, False)
+    assert out_f.shape == out_ref.shape == (x.shape[0], 1, x.shape[2])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               atol=5e-6, rtol=1e-5)
+
+
+def test_fused_lastq_grads_match_unfused():
+    """dx (K/V grads over ALL rows + q/residual grads at row L-1) and every
+    weight grad against XLA autodiff of the unfused single-query layer."""
+    ref, fused, variables, x, mask = _lastq_setup()
+    rng = np.random.default_rng(7)
+    G = jnp.asarray(rng.normal(size=(x.shape[0], 1, x.shape[2])),
+                    jnp.float32)
+
+    def loss(layer):
+        return lambda p, xx: jnp.vdot(
+            layer.apply({"params": p}, xx, mask, False), G)
+
+    gr_p, gr_x = jax.grad(loss(ref), argnums=(0, 1))(variables["params"], x)
+    gf_p, gf_x = jax.grad(loss(fused), argnums=(0, 1))(variables["params"], x)
+    np.testing.assert_allclose(np.asarray(gf_x), np.asarray(gr_x),
+                               atol=5e-6, rtol=1e-4)
+    flat_f = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gf_p)}
+    for k, a in jax.tree_util.tree_leaves_with_path(gr_p):
+        b = flat_f[jax.tree_util.keystr(k)]
+        scale = float(jnp.abs(a).max()) + 1e-8
+        err = float(jnp.abs(a - b).max())
+        assert err < 1e-5 + 1e-3 * scale, (jax.tree_util.keystr(k), err)
+
+
+def test_fused_lastq_encoder_integration():
+    """TransformerEncoder(fused_layer + fused_lastq + last_query_only) ==
+    the unfused lastq encoder: fused full layers feed the fused
+    single-query final layer."""
+    from unirec_tpu.models import modules
+    import unirec_tpu.ops.layer as LY
+
+    if not ON_TPU:
+        LY._INTERPRET = True
+    rng = np.random.default_rng(3)
+    B, L, D = 3, 8, 16
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    item_seq = rng.integers(0, 3, size=(B, L))
+    item_seq[:, -3:] = 1
+    mask = modules.causal_attention_mask(jnp.asarray(item_seq))
+    kw = dict(n_layers=2, n_heads=2, hidden_size=D, inner_size=32,
+              hidden_dropout_prob=0.0, attn_dropout_prob=0.0,
+              hidden_act="gelu", layer_norm_eps=1e-12,
+              last_query_only=True)
+    enc_ref = modules.TransformerEncoder(**kw)
+    enc_f = modules.TransformerEncoder(fused_layer=True, fused_lastq=True,
+                                       **kw)
+    variables = enc_ref.init(jax.random.PRNGKey(0), x, mask, False)
+    out_ref = enc_ref.apply(variables, x, mask, False)
+    out_f = enc_f.apply(variables, x, mask, False)
+    assert out_f.shape == out_ref.shape
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               atol=5e-6, rtol=1e-5)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="in-kernel PRNG dropout is TPU-only")
+def test_fused_lastq_dropout_determinism_and_grad_consistency():
+    """Train mode on TPU: deterministic per seed, dropout actually fires,
+    and the backward's regenerated masks match the forward's (finite
+    differences along a random direction)."""
+    from unirec_tpu.models import modules
+
+    rng = np.random.default_rng(11)
+    B, L, D, F = 8, 16, 16, 32
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    item_seq = rng.integers(1, 3, size=(B, L))  # no padding
+    mask = modules.causal_attention_mask(jnp.asarray(item_seq))
+    layer = modules.TransformerLayer(2, D, F, 0.3, 0.3, "relu", 1e-12,
+                                     last_query=True, fused_lastq=True)
+    variables = layer.init(jax.random.PRNGKey(0), x, mask, False)
+    key = jax.random.PRNGKey(5)
+
+    def fwd(xx):
+        return layer.apply(variables, xx, mask, True,
+                           rngs={"dropout": key})
+
+    y1, y2 = fwd(x), fwd(x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    y_eval = layer.apply(variables, x, mask, False)
+    assert float(jnp.abs(y1 - y_eval).max()) > 1e-3
+
+    v = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    g = jnp.asarray(rng.normal(size=y1.shape), jnp.float32)
+    lossf = lambda xx: jnp.vdot(fwd(xx), g)
+    jvp_via_grad = float(jnp.vdot(jax.grad(lossf)(x), v))
+    eps = 1e-3
+    fd = float((lossf(x + eps * v) - lossf(x - eps * v)) / (2 * eps))
+    assert abs(jvp_via_grad - fd) < 5e-2 * (abs(fd) + 1.0), \
+        (jvp_via_grad, fd)

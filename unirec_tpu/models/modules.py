@@ -556,10 +556,40 @@ class TransformerLayer(nn.Module):
     # so opt-in, measured lever.
     fused_layer: bool = False
     fused_causal: bool = True
+    # single-query FINAL layer as a Pallas kernel (opt-in, measured lever
+    # like fused_layer — config fused_lastq=1; only takes effect on the
+    # layer that runs with last_query)
+    fused_lastq: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
         special = self.last_query or self.head_stacked
+        if self.fused_lastq and self.last_query and not self.head_stacked \
+                and not self.qkv_packed:
+            # single-query FINAL layer as one Pallas program per block
+            # (ops/layer.py::fused_last_query_layer): K/V and their head
+            # views never reach HBM. Same param tree as the unfused path.
+            from unirec_tpu.ops import layer as layer_ops
+            drop_on = train and (self.attn_dropout_prob > 0.0
+                                 or self.hidden_dropout_prob > 0.0)
+            if layer_ops.fused_layer_supported(x, self.hidden_act,
+                                               self.n_heads) \
+                    and not (drop_on and layer_ops._INTERPRET):
+                (dense, ln1) = _MHAParams(self.hidden_size, self.kernel_init,
+                                          name="multi_head_attention")()
+                (d1, d2, ln2) = _FFNParams(self.hidden_size, self.inner_size,
+                                           self.kernel_init,
+                                           name="feed_forward")()
+                madd = attn_mask[:, 0, -1, :].astype(jnp.float32)
+                params = tuple(dense) + (ln1, d1, d2, ln2)
+                y = layer_ops.fused_last_query_layer(
+                    x, madd, params, n_heads=self.n_heads,
+                    inner_size=self.inner_size, hidden_act=self.hidden_act,
+                    layer_norm_eps=self.layer_norm_eps,
+                    p_attn=self.attn_dropout_prob,
+                    p_hidden=self.hidden_dropout_prob, train=train,
+                    dropout_rng=self.make_rng("dropout") if drop_on else None)
+                return y[:, None, :]
         if self.fused_layer and not special and not self.qkv_packed:
             from unirec_tpu.ops import layer as layer_ops
             drop_on = train and (self.attn_dropout_prob > 0.0
@@ -649,6 +679,9 @@ class TransformerEncoder(nn.Module):
     # own cheap path). Opt-in, measured lever (config fused_layer=1).
     fused_layer: bool = False
     fused_causal: bool = True
+    # single-query final layer as a Pallas kernel too (config fused_lastq=1;
+    # needs last_query_only) — K/V and head views stay in VMEM
+    fused_lastq: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
@@ -666,6 +699,7 @@ class TransformerEncoder(nn.Module):
                           self.bits8, self.qkv_packed, last_q,
                           self.head_stacked, self.fused_ffn, self.mask_remat,
                           self.fused_layer, self.fused_causal,
+                          fused_lastq=self.fused_lastq,
                           name=f"layer_{i}")(x, attn_mask, train)
         return x
 

@@ -72,7 +72,10 @@ class SASRec(SeqRecBase):
             # batch block runs qkv→attention→proj→LN→FFN→LN with nothing
             # but x/y touching HBM. Opt-in, measured lever
             fused_layer=bool(c.get("fused_layer", 0)),
-            fused_causal=self.use_pos_emb)
+            fused_causal=self.use_pos_emb,
+            # single-query final layer as a Pallas kernel too (needs
+            # last_query_only; ops/layer.py::fused_last_query_layer)
+            fused_lastq=bool(c.get("fused_lastq", 0)))
         self.input_ln = nn.LayerNorm(epsilon=float(c.get("layer_norm_eps", 1e-12)),
                                      dtype=self.compute_dtype, name="LayerNorm")
         if int(c.get("dropout_bits", 32)) == 8:

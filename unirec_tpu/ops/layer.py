@@ -482,6 +482,328 @@ def _fused_layer_bwd(static, res, g):
 _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
 
 
+# ------------------------------------------------- last-query layer kernel
+# The final encoder layer under `last_query_only` consumes ONLY query
+# position L-1 (sasrec.py:59-76; left-padded windows). The unfused lastq
+# path still materializes full-length K/V projections plus their
+# [B, nh, L, hd] transposes in HBM; this kernel keeps them in VMEM. One
+# program per MB-example block computes k/v for all rows, q for the last
+# real row, single-row attention, out-proj, and the FFN — emitting [MB, D].
+# Backward recomputes from x (same recipe as the whole-layer kernel) and
+# writes per-program partial weight slabs.
+
+def _lastq_fwd_kernel(x_ref, madd_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                      wv_ref, bv_ref, wo_ref, bo_ref, g1_ref, c1b_ref,
+                      w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, c2b_ref,
+                      seed_ref, y_ref,
+                      *, qi, nh, hd, F, p_attn, p_hidden, act, eps, train):
+    mb, L, D = x_ref.shape
+    dt = x_ref.dtype
+    act_f, _ = _act_pair(act)
+    x2 = x_ref[...].reshape(mb * L, D)
+    xq = x_ref[:, qi:qi + 1, :].reshape(x_ref.shape[0], x_ref.shape[2])                                   # [mb, D]
+    k = (_dot(x2, wk_ref[...]).astype(dt) + bk_ref[...])
+    v = (_dot(x2, wv_ref[...]).astype(dt) + bv_ref[...])
+    q = (_dot(xq, wq_ref[...]).astype(dt) + bq_ref[...])   # [mb, D]
+    scale = 1.0 / float(np.sqrt(hd))
+    mrow = madd_ref[...].astype(jnp.float32)[:, None, :]   # [mb, 1, L]
+    ctx_heads = []
+    for h in range(nh):
+        kh = k[:, h * hd:(h + 1) * hd].reshape(mb, L, hd)
+        vh = v[:, h * hd:(h + 1) * hd].reshape(mb, L, hd)
+        # size-1 middle-dim insert must happen in f32: Mosaic rejects the
+        # bf16 (2,1)-packed shape cast [mb,hd]->[mb,1,hd]
+        qh = (q[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+              [:, None, :].astype(dt))
+        s = _bdot(qh, kh, 2, 2) * scale + mrow             # [mb, 1, L] f32
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        if train and p_attn > 0.0:
+            pltpu.prng_seed(_site_seed(seed_ref, h))
+            keep = _keep_mask(p.shape, p_attn)
+            p = jnp.where(keep, p * (1.0 / (1.0 - p_attn)), 0.0)
+        ch = _bdot(p.astype(dt), vh, 2, 1)                 # [mb, 1, hd] f32
+        ctx_heads.append(ch.reshape(mb, hd).astype(dt))
+    ctx = jnp.concatenate(ctx_heads, axis=-1)              # [mb, D]
+    o = (_dot(ctx, wo_ref[...]).astype(dt) + bo_ref[...])
+    if train:
+        o = _dropped(o, seed_ref, nh, p_hidden)
+    r1 = (o + xq).astype(jnp.float32)
+    x1f, _, _ = _ln_fwd(r1, g1_ref[...], c1b_ref[...], eps)
+    x1 = x1f.astype(dt)
+    u = (_dot(x1, w1_ref[...]).astype(dt) + b1_ref[...])
+    hm = act_f(u.astype(jnp.float32)).astype(dt)
+    h2 = (_dot(hm, w2_ref[...]).astype(dt) + b2_ref[...])
+    if train:
+        h2 = _dropped(h2, seed_ref, nh + 1, p_hidden)
+    r2 = (h2 + x1).astype(jnp.float32)
+    yf, _, _ = _ln_fwd(r2, g2_ref[...], c2b_ref[...], eps)
+    y_ref[...] = yf.astype(dt)
+
+
+def _lastq_bwd_kernel(x_ref, madd_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                      wv_ref, bv_ref, wo_ref, bo_ref, g1_ref, c1b_ref,
+                      w1_ref, b1_ref, w2_ref, b2_ref, g2_ref, c2b_ref,
+                      seed_ref, dy_ref,
+                      dx_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
+                      dwv_ref, dbv_ref, dwo_ref, dbo_ref, dg1_ref, dc1b_ref,
+                      dw1_ref, db1_ref, dw2_ref, db2_ref, dg2_ref, dc2b_ref,
+                      *, qi, nh, hd, F, p_attn, p_hidden, act, eps, train):
+    mb, L, D = x_ref.shape
+    dt = x_ref.dtype
+    act_f, act_df = _act_pair(act)
+    scale = 1.0 / float(np.sqrt(hd))
+    inv_h = 1.0 / (1.0 - p_hidden) if p_hidden > 0.0 else 1.0
+    inv_a = 1.0 / (1.0 - p_attn) if p_attn > 0.0 else 1.0
+
+    # ---- recompute forward
+    x2 = x_ref[...].reshape(mb * L, D)
+    xq = x_ref[:, qi:qi + 1, :].reshape(x_ref.shape[0], x_ref.shape[2])
+    k = (_dot(x2, wk_ref[...]).astype(dt) + bk_ref[...])
+    v = (_dot(x2, wv_ref[...]).astype(dt) + bv_ref[...])
+    q = (_dot(xq, wq_ref[...]).astype(dt) + bq_ref[...])
+    mrow = madd_ref[...].astype(jnp.float32)[:, None, :]
+    heads, ctx_heads = [], []
+    for h in range(nh):
+        kh = k[:, h * hd:(h + 1) * hd].reshape(mb, L, hd)
+        vh = v[:, h * hd:(h + 1) * hd].reshape(mb, L, hd)
+        # size-1 middle-dim insert must happen in f32: Mosaic rejects the
+        # bf16 (2,1)-packed shape cast [mb,hd]->[mb,1,hd]
+        qh = (q[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+              [:, None, :].astype(dt))
+        s = _bdot(qh, kh, 2, 2) * scale + mrow
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)         # pre-dropout
+        heads.append((qh, kh, vh, p))
+        if train and p_attn > 0.0:
+            pltpu.prng_seed(_site_seed(seed_ref, h))
+            keep = _keep_mask(p.shape, p_attn)
+            pz = jnp.where(keep, p * inv_a, 0.0)
+        else:
+            pz = p
+        ch = _bdot(pz.astype(dt), vh, 2, 1)                # [mb, 1, hd] f32
+        ctx_heads.append(ch.reshape(mb, hd).astype(dt))
+    ctx = jnp.concatenate(ctx_heads, axis=-1)
+    o = (_dot(ctx, wo_ref[...]).astype(dt) + bo_ref[...])
+    if train and p_hidden > 0.0:
+        pltpu.prng_seed(_site_seed(seed_ref, nh))
+        keep_o = _keep_mask(o.shape, p_hidden)
+        od = jnp.where(keep_o, o * inv_h, jnp.zeros_like(o))
+    else:
+        od = o
+    r1 = (od + xq).astype(jnp.float32)
+    x1f, xhat1, rs1 = _ln_fwd(r1, g1_ref[...], c1b_ref[...], eps)
+    x1 = x1f.astype(dt)
+    u = (_dot(x1, w1_ref[...]).astype(dt) + b1_ref[...])
+    uf = u.astype(jnp.float32)
+    hm = act_f(uf).astype(dt)
+    h2 = (_dot(hm, w2_ref[...]).astype(dt) + b2_ref[...])
+    if train and p_hidden > 0.0:
+        pltpu.prng_seed(_site_seed(seed_ref, nh + 1))
+        keep_2 = _keep_mask(h2.shape, p_hidden)
+        h2d = jnp.where(keep_2, h2 * inv_h, jnp.zeros_like(h2))
+    else:
+        h2d = h2
+    r2 = (h2d + x1).astype(jnp.float32)
+    _, xhat2, rs2 = _ln_fwd(r2, g2_ref[...], c2b_ref[...], eps)
+
+    # ---- backward
+    dy = dy_ref[...].astype(jnp.float32)                   # [mb, D]
+    dr2, dg2, db2 = _ln_bwd(dy, xhat2, rs2, g2_ref[...])
+    dg2_ref[...] = dg2
+    dc2b_ref[...] = db2
+    dh2 = dr2
+    if train and p_hidden > 0.0:
+        dh2 = jnp.where(keep_2, dh2 * inv_h, 0.0)
+    dh2 = dh2.astype(dt)
+    dw2_ref[...] = _dot(hm.T, dh2)
+    db2_ref[...] = jnp.sum(dh2.astype(jnp.float32), axis=0, keepdims=True)
+    dhm = _dot(dh2, w2_ref[...].T)
+    du = (dhm * act_df(uf)).astype(dt)
+    dw1_ref[...] = _dot(x1.T, du)
+    db1_ref[...] = jnp.sum(du.astype(jnp.float32), axis=0, keepdims=True)
+    dx1 = dr2 + _dot(du, w1_ref[...].T)
+    dr1, dg1, db1 = _ln_bwd(dx1, xhat1, rs1, g1_ref[...])
+    dg1_ref[...] = dg1
+    dc1b_ref[...] = db1
+    do = dr1
+    if train and p_hidden > 0.0:
+        do = jnp.where(keep_o, do * inv_h, 0.0)
+    do = do.astype(dt)
+    dwo_ref[...] = _dot(ctx.T, do)
+    dbo_ref[...] = jnp.sum(do.astype(jnp.float32), axis=0, keepdims=True)
+    dctx = _dot(do, wo_ref[...].T).astype(dt)
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for h in range(nh):
+        qh, kh, vh, p = heads[h]
+        dch = (dctx[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+               [:, None, :].astype(dt))
+        if train and p_attn > 0.0:
+            pltpu.prng_seed(_site_seed(seed_ref, h))
+            keep = _keep_mask(p.shape, p_attn)
+            pz = jnp.where(keep, p * inv_a, 0.0)
+        else:
+            keep, pz = None, p
+        # dV_h [mb, L, hd] = pz^T (x) dch — rank-1 batched matmul
+        # (contract the size-1 query dim; a reshape-based outer product
+        # would move L between lane/sublane dims, a Mosaic relayout)
+        dv_parts.append(_bdot(pz.astype(dt), dch, 1, 1))
+        dpz = _bdot(dch, vh, 2, 2)                         # [mb, 1, L] f32
+        dp = jnp.where(keep, dpz * inv_a, 0.0) if keep is not None else dpz
+        t = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - t) * scale).astype(dt)             # [mb, 1, L]
+        dq_parts.append(_bdot(ds, kh, 2, 1).reshape(mb, hd).astype(dt))
+        # dK_h [mb, L, hd] = ds^T (x) qh — same rank-1 batched matmul
+        dk_parts.append(_bdot(ds, qh.astype(dt), 1, 1))
+    dq = jnp.concatenate(dq_parts, axis=-1)                # [mb, D]
+    dk3 = jnp.concatenate([pp.astype(dt) for pp in dk_parts], axis=-1)
+    dv3 = jnp.concatenate([pp.astype(dt) for pp in dv_parts], axis=-1)
+    dk2 = dk3.reshape(mb * L, D)
+    dv2 = dv3.reshape(mb * L, D)
+    dwq_ref[...] = _dot(xq.T, dq)
+    dbq_ref[...] = jnp.sum(dq.astype(jnp.float32), axis=0, keepdims=True)
+    dwk_ref[...] = _dot(x2.T, dk2)
+    dbk_ref[...] = jnp.sum(dk2.astype(jnp.float32), axis=0, keepdims=True)
+    dwv_ref[...] = _dot(x2.T, dv2)
+    dbv_ref[...] = jnp.sum(dv2.astype(jnp.float32), axis=0, keepdims=True)
+    dx2 = _dot(dk2, wk_ref[...].T) + _dot(dv2, wv_ref[...].T)
+    dx3 = dx2.reshape(mb, L, D)
+    # row qi additionally receives the q-projection and residual grads
+    dxq = (_dot(dq, wq_ref[...].T) + dr1).astype(jnp.float32)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, L, 1), 1) == qi)
+    dx3 = dx3 + jnp.where(sel, dxq[:, None, :], 0.0)
+    dx_ref[...] = dx3.astype(dt)
+
+
+def _lastq_weights(params, dt):
+    (wq, bq), (wk, bk), (wv, bv), (wo, bo), (g1, c1), \
+        (w1, b1), (w2, b2), (g2, c2) = params
+    return (wq.astype(dt), bq[None].astype(dt),
+            wk.astype(dt), bk[None].astype(dt),
+            wv.astype(dt), bv[None].astype(dt),
+            wo.astype(dt), bo[None].astype(dt),
+            g1[None].astype(jnp.float32), c1[None].astype(jnp.float32),
+            w1.astype(dt), b1[None].astype(dt),
+            w2.astype(dt), b2[None].astype(dt),
+            g2[None].astype(jnp.float32), c2[None].astype(jnp.float32))
+
+
+def _lastq_specs(B, Lp, D, F, mb):
+    xs = pl.BlockSpec((mb, Lp, D), lambda i: (i, 0, 0))
+    ms = pl.BlockSpec((mb, Lp), lambda i: (i, 0))
+    ys = pl.BlockSpec((mb, D), lambda i: (i, 0))
+    full2 = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0))
+    seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    w_specs = [full2(D, D), full2(1, D), full2(D, D), full2(1, D),
+               full2(D, D), full2(1, D), full2(D, D), full2(1, D),
+               full2(1, D), full2(1, D), full2(D, F), full2(1, F),
+               full2(F, D), full2(1, D), full2(1, D), full2(1, D)]
+    return xs, ms, ys, w_specs, seed
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_lastq(x, madd, flat_weights, static, seed):
+    y, _ = _fused_lastq_fwd_impl(x, madd, flat_weights, static, seed)
+    return y
+
+
+def _fused_lastq_fwd_impl(x, madd, flat_weights, static, seed):
+    qi, nh, hd, F, p_attn, p_hidden, act, eps, train = static
+    B, L, D = x.shape
+    xp, mp, Lp = _pad_L(x, madd, L)
+    # much lighter VMEM than the full layer (no [MB, L, L] scores):
+    # larger default blocks
+    mb = _block_rows(B, "UNIREC_LASTQ_MB", 64)
+    xs, ms, ys, w_specs, seed_spec = _lastq_specs(B, Lp, D, F, mb)
+    kern = functools.partial(
+        _lastq_fwd_kernel, qi=qi, nh=nh, hd=hd, F=F, p_attn=p_attn,
+        p_hidden=p_hidden, act=act, eps=eps, train=train)
+    y = pl.pallas_call(
+        kern,
+        grid=(B // mb,),
+        in_specs=[xs, ms] + w_specs + [seed_spec],
+        out_specs=ys,
+        out_shape=jax.ShapeDtypeStruct((B, D), x.dtype),
+        interpret=_INTERPRET,
+    )(xp, mp, *flat_weights, seed)
+    return y, (x, madd, flat_weights, seed)
+
+
+def _fused_lastq_fwd(x, madd, flat_weights, static, seed):
+    return _fused_lastq_fwd_impl(x, madd, flat_weights, static, seed)
+
+
+def _fused_lastq_bwd(static, res, g):
+    qi, nh, hd, F, p_attn, p_hidden, act, eps, train = static
+    x, madd, flat_weights, seed = res
+    B, L, D = x.shape
+    xp, mp, Lp = _pad_L(x, madd, L)
+    mb = _block_rows(B, "UNIREC_LASTQ_MB_BWD", 64)
+    n_prog = B // mb
+    xs, ms, ys, w_specs, seed_spec = _lastq_specs(B, Lp, D, F, mb)
+    kern = functools.partial(
+        _lastq_bwd_kernel, qi=qi, nh=nh, hd=hd, F=F, p_attn=p_attn,
+        p_hidden=p_hidden, act=act, eps=eps, train=train)
+
+    def partial_spec(r, c):
+        return (pl.BlockSpec((None, r, c), lambda i: (i, 0, 0)),
+                jax.ShapeDtypeStruct((n_prog, r, c), jnp.float32))
+
+    grad_sp = [partial_spec(D, D), partial_spec(1, D),
+               partial_spec(D, D), partial_spec(1, D),
+               partial_spec(D, D), partial_spec(1, D),
+               partial_spec(D, D), partial_spec(1, D),
+               partial_spec(1, D), partial_spec(1, D),
+               partial_spec(D, F), partial_spec(1, F),
+               partial_spec(F, D), partial_spec(1, D),
+               partial_spec(1, D), partial_spec(1, D)]
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_prog,),
+        in_specs=[xs, ms] + w_specs + [seed_spec, ys],
+        out_specs=[xs] + [s for s, _ in grad_sp],
+        out_shape=[jax.ShapeDtypeStruct((B, Lp, D), x.dtype)]
+                  + [sh for _, sh in grad_sp],
+        interpret=_INTERPRET,
+    )(xp, mp, *flat_weights, seed, g)
+    dx = outs[0][:, :L, :]
+    dws = [o.sum(axis=0) for o in outs[1:]]
+    dflat = tuple(dw.reshape(w.shape).astype(w.dtype)
+                  for dw, w in zip(dws, flat_weights))
+    return dx, None, dflat, None
+
+
+_fused_lastq.defvjp(_fused_lastq_fwd, _fused_lastq_bwd)
+
+
+def fused_last_query_layer(x, madd, params, *, n_heads: int, inner_size: int,
+                           hidden_act: str, layer_norm_eps: float,
+                           p_attn: float, p_hidden: float, train: bool,
+                           dropout_rng=None):
+    """Single-query final layer as one Pallas program per batch block:
+    K/V projections for all rows stay in VMEM (the unfused lastq path
+    round-trips them plus their head transposes through HBM), attention is
+    one row per head, and the FFN runs on [MB, D]. Returns [B, D] — the
+    layer output at the last real position L-1. Same param tuple as
+    fused_transformer_layer; checkpoints transfer between paths."""
+    B, L, D = x.shape
+    drop_on = train and (p_attn > 0.0 or p_hidden > 0.0) \
+        and dropout_rng is not None
+    if drop_on:
+        seed = jax.random.randint(dropout_rng, (1,), 0,
+                                  np.iinfo(np.int32).max, dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    flat = _lastq_weights(params, x.dtype)
+    static = (L - 1, n_heads, D // n_heads, int(inner_size),
+              float(p_attn) if drop_on else 0.0,
+              float(p_hidden) if drop_on else 0.0,
+              str(hidden_act), float(layer_norm_eps), bool(drop_on))
+    return _fused_lastq(x, madd, flat, static, seed)
+
+
 def fused_layer_supported(x, hidden_act: str, n_heads: int) -> bool:
     if jax.default_backend() != "tpu" and not _INTERPRET:
         return False
