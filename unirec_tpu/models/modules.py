@@ -468,6 +468,24 @@ class _FFNParams(nn.Module):
         return d1, d2, ln
 
 
+class _LayerParams(nn.Module):
+    """Param tree of one TransformerLayer, for the encoder-level fused
+    chain — named `layer_{i}` so paths match the per-layer modules exactly
+    (checkpoints transfer between the chain and the unfused loop)."""
+
+    hidden_size: int
+    inner_size: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        dense, ln1 = _MHAParams(self.hidden_size, self.kernel_init,
+                                name="multi_head_attention")()
+        d1, d2, ln2 = _FFNParams(self.hidden_size, self.inner_size,
+                                 self.kernel_init, name="feed_forward")()
+        return tuple(dense) + (ln1, d1, d2, ln2)
+
+
 class FeedForward(nn.Module):
     """Pointwise FFN with residual post-LN (modules.py:319-355).
 
@@ -685,6 +703,45 @@ class TransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
+        if (self.fused_layer and self.fused_lastq and self.last_query_only
+                and not (self.remat or self.head_stacked or self.qkv_packed
+                         or self.fused_ffn)):
+            # padded fused chain: with EVERY layer a Pallas kernel, pad the
+            # sequence dim to the kernels' sublane multiple ONCE and keep it
+            # padded between layers — the per-layer pad(fwd)/slice(bwd)
+            # pairs the kernels would otherwise emit (~1.4 ms each at bench
+            # shapes) disappear. Fake rows hold zeros, are banned as keys by
+            # the -1e30 madd tail, and their (finite) outputs are never
+            # consumed: the final layer reads only real row L-1.
+            from unirec_tpu.ops import layer as layer_ops
+            drop_on = train and (self.attn_dropout_prob > 0.0
+                                 or self.hidden_dropout_prob > 0.0)
+            if layer_ops.fused_layer_supported(x, self.hidden_act,
+                                               self.n_heads) \
+                    and not (drop_on and layer_ops._INTERPRET):
+                B, L, D = x.shape
+                madd = attn_mask[:, 0, -1, :].astype(jnp.float32)
+                xp, mp, Lp = layer_ops._pad_L(x, madd, L)
+                common = dict(n_heads=self.n_heads,
+                              inner_size=self.inner_size,
+                              hidden_act=self.hidden_act,
+                              layer_norm_eps=self.layer_norm_eps,
+                              p_attn=self.attn_dropout_prob,
+                              p_hidden=self.hidden_dropout_prob,
+                              train=train)
+                for i in range(self.n_layers):
+                    params = _LayerParams(self.hidden_size, self.inner_size,
+                                          self.kernel_init,
+                                          name=f"layer_{i}")()
+                    rng = self.make_rng("dropout") if drop_on else None
+                    if i == self.n_layers - 1:
+                        y = layer_ops.fused_last_query_layer(
+                            xp, mp, params, q_index=L - 1,
+                            dropout_rng=rng, **common)
+                        return y[:, None, :]
+                    xp = layer_ops.fused_transformer_layer(
+                        xp, mp, params, causal=self.fused_causal,
+                        dropout_rng=rng, **common)
         layer_cls = TransformerLayer
         if self.remat:
             # train is a static bool (it selects the dropout branch)

@@ -781,14 +781,16 @@ _fused_lastq.defvjp(_fused_lastq_fwd, _fused_lastq_bwd)
 def fused_last_query_layer(x, madd, params, *, n_heads: int, inner_size: int,
                            hidden_act: str, layer_norm_eps: float,
                            p_attn: float, p_hidden: float, train: bool,
-                           dropout_rng=None):
+                           dropout_rng=None, q_index=None):
     """Single-query final layer as one Pallas program per batch block:
     K/V projections for all rows stay in VMEM (the unfused lastq path
     round-trips them plus their head transposes through HBM), attention is
     one row per head, and the FFN runs on [MB, D]. Returns [B, D] — the
-    layer output at the last real position L-1. Same param tuple as
-    fused_transformer_layer; checkpoints transfer between paths."""
+    layer output at the last real position (``q_index``, default L-1;
+    callers on pre-padded inputs pass the last REAL row). Same param tuple
+    as fused_transformer_layer; checkpoints transfer between paths."""
     B, L, D = x.shape
+    qi = int(L - 1 if q_index is None else q_index)
     drop_on = train and (p_attn > 0.0 or p_hidden > 0.0) \
         and dropout_rng is not None
     if drop_on:
@@ -797,7 +799,7 @@ def fused_last_query_layer(x, madd, params, *, n_heads: int, inner_size: int,
     else:
         seed = jnp.zeros((1,), jnp.int32)
     flat = _lastq_weights(params, x.dtype)
-    static = (L - 1, n_heads, D // n_heads, int(inner_size),
+    static = (qi, n_heads, D // n_heads, int(inner_size),
               float(p_attn) if drop_on else 0.0,
               float(p_hidden) if drop_on else 0.0,
               str(hidden_act), float(layer_norm_eps), bool(drop_on))
