@@ -67,6 +67,10 @@ MODEL_CONF = {
     "SVDPlusPlus": {},
     "ConvFormer": {"conv_size": 4, "n_layers": 2},
     "FASTConvFormer": {"conv_size": 4, "n_layers": 2},
+    # the remaining golden SGD model (test_cf_model.py:61); solver models
+    # (EASE/SLIM/...) are deterministic and already have EXACT parity in
+    # test_reference_e2e.py::test_solver_models_exact_parity
+    "MultiVAE": {"dataloader": "AERecDataset"},
 }
 DEFAULT_MODELS = ["SASRec", "MF"]
 MODELS = (sorted(MODEL_CONF) if os.environ.get("UNIREC_REHEARSAL_FULL")
@@ -139,7 +143,11 @@ def test_golden_rehearsal(ml100k_shaped, ref_config, tmp_path, model):
     ref = _run_reference(ref_config, ds,
                          os.path.join(str(tmp_path), f"ref-{model}"), model)
     ours = _run_ours(ds, os.path.join(str(tmp_path), f"ours-{model}"), model)
-    # the run must be meaningful, not a degenerate tie at ~0
-    assert ref["hit@5"] > 0.02, (model, ref)
+    # the run must be meaningful, not a degenerate tie at ~0 (MultiVAE is
+    # the exception: its published real-data golden is itself near-random
+    # at 3 epochs — hit@5 0.01065, test_cf_model.py:61 — so only pipeline
+    # parity is asserted there)
+    if model != "MultiVAE":
+        assert ref["hit@5"] > 0.02, (model, ref)
     for m in ("hit@5", "ndcg@5", "hit@10", "ndcg@10"):
         assert ours[m] >= ref[m] - TOL, (model, m, ref, ours)
