@@ -153,6 +153,12 @@ VARIANTS = {
                               "dropout_rng_impl": "rbg", "dropout_bits": 8,
                               "last_query_only": 1, "fused_layer": 1,
                               "fused_lastq": 1},
+    # round-4c: Pallas membership for the negative-rejection compare
+    # (ops/member.py) — the [B, C] history rows stay in VMEM per block
+    "fused+member": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                     "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                     "last_query_only": 1, "fused_layer": 1,
+                     "fused_lastq": 1, "neg_membership_pallas": 1},
 }
 
 

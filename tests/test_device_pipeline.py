@@ -277,3 +277,26 @@ def test_auto_resume_device_pipeline(synth_dataset, tmp_path):
     b = main.run(dict(conf, epochs=4, exp_name="ardp_b", output_path=out_b))
     for k in a:
         assert abs(a[k] - b[k]) < 1e-9, (k, a[k], b[k])
+
+
+def test_pallas_membership_matches_broadcast_compare():
+    """ops/member.py::member_mask == the [B, K, C] broadcast compare for
+    random histories/candidates incl. zero (padding) candidates."""
+    import numpy as np
+    import jax.numpy as jnp
+    from unirec_tpu.ops import member
+
+    member._INTERPRET = True
+    try:
+        rng = np.random.default_rng(0)
+        for B, C, K in ((16, 37, 12), (32, 64, 36), (8, 200, 5)):
+            rows = rng.integers(0, 50, (B, C)).astype(np.int32)
+            cand = rng.integers(0, 50, (B, K)).astype(np.int32)
+            cand[:, 0] = 0  # padding candidate must never be a member
+            got = np.asarray(member.member_mask(jnp.asarray(rows),
+                                                jnp.asarray(cand)))
+            want = ((cand[:, :, None] == rows[:, None, :])
+                    & (cand[:, :, None] > 0)).any(-1)
+            np.testing.assert_array_equal(got, want, err_msg=f"{B},{C},{K}")
+    finally:
+        member._INTERPRET = False

@@ -75,6 +75,12 @@ class DeviceAugmenter:
         if self.use_binary_membership and self.n_neg > 0:
             self.state["hist_sorted"] = jnp.asarray(
                 np.sort(history.items, axis=1))
+        # Pallas membership: identical results to the [B, K, C] broadcast
+        # compare, but the history rows are read from HBM once per block
+        # instead of once per candidate group (ops/member.py). Opt-in
+        # measured lever (config neg_membership_pallas=1, TPU only).
+        self.use_pallas_membership = bool(
+            int(c.get("neg_membership_pallas", 0) or 0))
         if self.with_time:
             self.state["hist_times"] = jnp.asarray(history.times)
         if self.use_features:
@@ -108,6 +114,10 @@ class DeviceAugmenter:
         instead of the [B, K, C] broadcast compare (236M compares at bench
         shapes, measured ~4 ms — ~8x its VPU roofline)."""
         if sorted_rows is None:
+            if self.use_pallas_membership:
+                from unirec_tpu.ops import member
+                if member.member_supported():
+                    return member.member_mask(rows, cand)
             hit = (cand[:, :, None] == rows[:, None, :]) & (cand[:, :, None] > 0)
             return hit.any(-1)
         C = sorted_rows.shape[1]

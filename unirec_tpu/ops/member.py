@@ -1,0 +1,68 @@
+"""Pallas membership test for negative-sampling rejection.
+
+`cand[b, k] in rows[b, :]` as a [B, K] bool. The XLA broadcast-compare
+(`(cand[:,:,None] == rows[:,None,:]).any(-1)`, device_pipeline.py::
+_membership) measured ~4.15 ms/step at bench shapes ([B=32k, K=36, C=200])
+— ~8x its VPU roofline, because the fusion streams the [B, C] history rows
+from HBM once per candidate column group. This kernel loads each block's
+rows into VMEM ONCE and runs all K compares there: HBM traffic drops to
+one read of rows + cand and one [B, K] write (~27 MB total, ~0.04 ms
+floor).
+
+The per-candidate loop is unrolled over K (static, 36 at bench shapes)
+with static width-1 lane slices — no dynamic indexing anywhere (the round-3
+lesson: any dynamic-index scheme at these shapes loses to vectorized
+compares; this keeps the compares AND fixes their traffic).
+
+Forward-only (int inputs inside the sampling path, nothing differentiates
+through it).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def _member_kernel(rows_ref, cand_ref, out_ref, *, K):
+    r = rows_ref[...]                       # [mb, C] int32
+    c = cand_ref[...]                       # [mb, K] int32
+    for k in range(K):
+        ck = c[:, k:k + 1]                  # [mb, 1] static lane slice
+        hit = jnp.any(r == ck, axis=-1, keepdims=True)   # [mb, 1]
+        out_ref[:, k:k + 1] = hit & (ck > 0)
+
+
+def _block_rows(B: int, default: int) -> int:
+    mb = int(os.environ.get("UNIREC_MEMBER_MB") or default)
+    while mb > 8 and B % mb:
+        mb //= 2
+    if B % mb or (mb % 8 and mb != B):
+        return B
+    return max(mb, 1)
+
+
+def member_mask(rows: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
+    """[B, K] bool: cand[b, k] is a real id (>0) present in rows[b, :]."""
+    B, C = rows.shape
+    K = cand.shape[1]
+    mb = _block_rows(B, 512)
+    kern = functools.partial(_member_kernel, K=K)
+    return pl.pallas_call(
+        kern,
+        grid=(B // mb,),
+        in_specs=[pl.BlockSpec((mb, C), lambda i: (i, 0)),
+                  pl.BlockSpec((mb, K), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((mb, K), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, K), jnp.bool_),
+        interpret=_INTERPRET,
+    )(rows.astype(jnp.int32), cand.astype(jnp.int32))
+
+
+def member_supported() -> bool:
+    return jax.default_backend() == "tpu" or _INTERPRET
