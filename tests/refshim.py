@@ -83,6 +83,22 @@ def setup_reference_shims() -> None:
             lambda *a, **k: np.float64(_orig_auc(*a, **k)))
         _wrapped._np_wrapped = True
         _skm.roc_auc_score = _wrapped
+    # pandas>=2 rejects drop(columns=..., axis=1) (both given) — used by
+    # the reference's ml-100k splitter (download_split_ml100k.py:279).
+    # With `columns` given the axis is redundant; ignore it.
+    if not getattr(pd.DataFrame.drop, "_axis_shim", False):
+        _orig_drop = pd.DataFrame.drop
+
+        @functools.wraps(_orig_drop)
+        def _drop(self, labels=None, *, axis=0, index=None, columns=None,
+                  **kw):
+            if columns is not None and labels is None:
+                axis = 0
+            return _orig_drop(self, labels, axis=axis, index=index,
+                              columns=columns, **kw)
+
+        _drop._axis_shim = True
+        pd.DataFrame.drop = _drop
     # scipy>=1.14 removed sparse.spmatrix.A (used by the reference's
     # AdmmSLIM, admmslim.py:34-35); restore it as a toarray alias.
     import scipy.sparse
