@@ -1425,3 +1425,53 @@ def test_fused_lastq_dropout_determinism_and_grad_consistency():
     fd = float((lossf(x + eps * v) - lossf(x - eps * v)) / (2 * eps))
     assert abs(jvp_via_grad - fd) < 5e-2 * (abs(fd) + 1.0), \
         (jvp_via_grad, fd)
+
+
+@pytest.mark.parametrize("n_layers,L", [(3, 10), (2, 16), (1, 8)])
+def test_fused_chain_depths_and_padding(n_layers, L):
+    """The padded fused chain (encoder keeps the sublane-padded layout
+    between kernels) matches the unfused lastq encoder at every depth,
+    both when L needs padding (10->16) and when it is already aligned."""
+    from unirec_tpu.models import modules
+    import unirec_tpu.ops.layer as LY
+
+    if not ON_TPU:
+        LY._INTERPRET = True
+    rng = np.random.default_rng(n_layers * 100 + L)
+    B, D = 3, 16
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    item_seq = rng.integers(0, 3, size=(B, L))
+    item_seq[:, -3:] = 1
+    mask = modules.causal_attention_mask(jnp.asarray(item_seq))
+    kw = dict(n_layers=n_layers, n_heads=2, hidden_size=D, inner_size=32,
+              hidden_dropout_prob=0.0, attn_dropout_prob=0.0,
+              hidden_act="swish", layer_norm_eps=1e-12,
+              last_query_only=True)
+    enc_ref = modules.TransformerEncoder(**kw)
+    enc_f = modules.TransformerEncoder(fused_layer=True, fused_lastq=True,
+                                       **kw)
+    variables = enc_ref.init(jax.random.PRNGKey(0), x, mask, False)
+    out_ref = enc_ref.apply(variables, x, mask, False)
+    out_f = enc_f.apply(variables, x, mask, False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               atol=5e-6, rtol=1e-5)
+    # grads through the chain (slice-of-pad VJP + chained custom VJPs)
+    G = jnp.asarray(rng.normal(size=np.asarray(out_ref).shape), jnp.float32)
+
+    def loss(enc):
+        return lambda p, xx: jnp.vdot(enc.apply({"params": p}, xx, mask,
+                                                False), G)
+
+    gr_p, gr_x = jax.grad(loss(enc_ref), argnums=(0, 1))(
+        variables["params"], x)
+    gf_p, gf_x = jax.grad(loss(enc_f), argnums=(0, 1))(
+        variables["params"], x)
+    np.testing.assert_allclose(np.asarray(gf_x), np.asarray(gr_x),
+                               atol=5e-6, rtol=1e-4)
+    flat_f = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gf_p)}
+    for k, a in jax.tree_util.tree_leaves_with_path(gr_p):
+        b = flat_f[jax.tree_util.keystr(k)]
+        scale = float(jnp.abs(a).max()) + 1e-8
+        err = float(jnp.abs(a - b).max())
+        assert err < 1e-5 + 1e-3 * scale, (jax.tree_util.keystr(k), err)
