@@ -52,6 +52,7 @@ def main():
         "output_path": "/tmp/trainer_probe",
         "compute_dtype": "bfloat16", "dropout_rng_impl": "rbg",
         "dropout_bits": 8, "last_query_only": 1,
+        "fused_layer": 1, "fused_lastq": 1,
     }, argv=[])
     model = get_model_class("SASRec")(cfg=cfg)
     mesh = create_mesh(cfg)
@@ -73,7 +74,7 @@ def main():
     n = len(raw)
     print(f"trainer epoch: {n} steps of batch {bench.BATCH} in {dt:.2f} s -> "
           f"{1000*dt/n:.1f} ms/step, {n*bench.BATCH/dt:,.0f} examples/sec "
-          f"(bench.py's bare loop: ~124.7 ms/step, ~264k ex/s)")
+          f"(bench.py's bare loop: ~106 ms/step, ~309k ex/s; the gap is per-step host id upload + dispatch RPCs over the axon tunnel)")
 
 
 if __name__ == "__main__":
