@@ -7,7 +7,7 @@ story from two trustworthy inputs:
   1. the REAL per-step collective traffic, extracted from the compiled
      (post-GSPMD) HLO of the actual sharded train step on a virtual
      8-device mesh — the same program the driver's dryrun executes; and
-  2. the MEASURED single-chip step time (bench.py: 106 ms at batch 32,768,
+  2. the MEASURED single-chip step time (bench.py: 107.5 ms at batch 32,768,
      81% HBM utilization — see docs/performance_notes.md).
 
 Weak-scaling model (per-chip batch held constant, the standard rec-sys
@@ -47,7 +47,7 @@ if __name__ == "__main__" and os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # measured on the one real chip (bench.py, docs/performance_notes.md)
-MEASURED_MS_PER_STEP = 106.0
+MEASURED_MS_PER_STEP = 107.5
 MEASURED_BATCH = 32_768
 
 # v5e ICI: 2D torus, ~45 GB/s one-way per link per direction (public

@@ -89,11 +89,11 @@ MODEL2EXTRA = {
 _FULL = bool(os.environ.get("UNIREC_REHEARSAL_FULL"))
 MODELS = ["FM", "BST", "AdaRanker"] if _FULL else ["FM"]
 # The torch reference needs ~5 CPU-minutes PER EPOCH on the 1.3M-row libfm
-# train set, so the default run caps the budget at 3 epochs — mutual
-# parity at an equal epoch budget is the claim under test. The full mode
-# uses the published 20-epoch golden budget.
-if not _FULL:
-    RANK_CONF = dict(RANK_CONF, epochs=3)
+# train set, so the default budget is 3 epochs — mutual parity at an
+# equal epoch budget is the claim under test. UNIREC_REHEARSAL_EPOCHS
+# overrides (the published golden budget is 20).
+RANK_CONF = dict(RANK_CONF, epochs=int(
+    os.environ.get("UNIREC_REHEARSAL_EPOCHS", 3)))
 
 
 def _txt_cfg(split_cols):

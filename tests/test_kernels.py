@@ -1475,3 +1475,73 @@ def test_fused_chain_depths_and_padding(n_layers, L):
         scale = float(jnp.abs(a).max()) + 1e-8
         err = float(jnp.abs(a - b).max())
         assert err < 1e-5 + 1e-3 * scale, (jax.tree_util.keystr(k), err)
+
+
+def test_last_query_bidirectional_mask():
+    """A bidirectional mask broadcasts its query dim to 1 ([B,1,1,L]);
+    the last-query paths must slice its (only) row, not index past it
+    (regression: attn_mask[..., L-1:, :] yielded an empty [B,1,0,L])."""
+    from unirec_tpu.models import modules
+
+    rng = np.random.default_rng(5)
+    B, L, D = 4, 10, 16
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    item_seq = rng.integers(0, 3, size=(B, L))
+    item_seq[:, -3:] = 1
+    bid = modules.causal_attention_mask(jnp.asarray(item_seq),
+                                        bidirectional=True)
+    full = modules.MultiHeadAttention(2, D, 0.0, 0.0, 1e-12)
+    lq = modules.MultiHeadAttention(2, D, 0.0, 0.0, 1e-12, last_query=True)
+    hs = modules.MultiHeadAttention(2, D, 0.0, 0.0, 1e-12, last_query=True,
+                                    head_stacked=True)
+    variables = full.init(jax.random.PRNGKey(0), x, bid, False)
+    out_full = full.apply(variables, x, bid, False)[:, -1:, :]
+    out_lq = lq.apply(variables, x, bid, False)
+    out_hs = hs.apply(variables, x, bid, False)
+    assert out_lq.shape == (B, 1, D)
+    np.testing.assert_allclose(np.asarray(out_lq), np.asarray(out_full),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_hs), np.asarray(out_full),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="in-kernel PRNG dropout is TPU-only")
+@pytest.mark.parametrize("flags,mbk,bwdk", [
+    (dict(fused_layer=True), "UNIREC_LAYER_MB", "UNIREC_LAYER_MB_BWD"),
+    (dict(last_query=True, fused_lastq=True),
+     "UNIREC_LASTQ_MB", "UNIREC_LASTQ_MB_BWD"),
+])
+def test_fused_layer_dropout_grads_across_grids(flags, mbk, bwdk,
+                                                monkeypatch):
+    """Dropout masks must be CANONICAL (per 8-example sub-block, global
+    index), not per-program: the fwd and bwd kernels launch with different
+    block sizes, and gradients must be bit-identical under every legal
+    grid choice (regression: per-program seeds made the backward replay
+    DIFFERENT masks than the forward applied whenever the grids differed
+    — ~2% directional-gradient error at B=32 with the default MB 64/16)."""
+    import os
+    from unirec_tpu.models import modules
+
+    rng = np.random.default_rng(11)
+    B, L, D, F = 64, 16, 16, 32
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    item_seq = rng.integers(1, 3, size=(B, L))
+    mask = modules.causal_attention_mask(jnp.asarray(item_seq))
+    layer = modules.TransformerLayer(2, D, F, 0.3, 0.3, "relu", 1e-12,
+                                     **flags)
+    variables = layer.init(jax.random.PRNGKey(0), x, mask, False)
+    key = jax.random.PRNGKey(5)
+
+    def grad_with(mb, mb_bwd):
+        monkeypatch.setenv(mbk, mb)
+        monkeypatch.setenv(bwdk, mb_bwd)
+        f = lambda xx: layer.apply(variables, xx, mask, True,
+                                   rngs={"dropout": key})
+        g = jnp.ones(np.asarray(f(x)).shape, jnp.float32)
+        return jax.jit(jax.grad(lambda xx: jnp.vdot(f(xx), g)))(x)
+
+    base = grad_with("64", "64")
+    for mb, mb_bwd in (("64", "16"), ("16", "8"), ("32", "64")):
+        got = grad_with(mb, mb_bwd)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base),
+                                      err_msg=f"grid {mb}/{mb_bwd}")

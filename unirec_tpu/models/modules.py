@@ -334,7 +334,10 @@ class MultiHeadAttention(nn.Module):
         k = kp.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)      # [B,h,L,d]
         v = vp.reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(float(hd))
-        mask_row = attn_mask[..., L - 1:, :]  # causal row L-1 = key-pad mask
+        # final query row of the additive mask. NEGATIVE index: bidirectional
+        # masks broadcast the query dim to size 1 ([B,1,1,L]), where L-1:
+        # would slice past the end and yield an empty [B,1,0,L]
+        mask_row = attn_mask[..., -1:, :]  # causal row L-1 = key-pad mask
         scores = scores + mask_row.astype(scores.dtype)
         probs = jax.nn.softmax(scores, axis=-1)
         probs = apply_dropout(probs, self.attn_dropout_prob, train, self.bits8,
@@ -388,8 +391,10 @@ class MultiHeadAttention(nn.Module):
         # outside d-block h, so the full-H contraction IS the per-head dot
         scores = jnp.einsum("bqd,bkd->bqk", qp, kx) / jnp.sqrt(float(hd))
         # additive causal mask rows, tiled along the stacked key axis
-        # (key j' = h*L + j carries mask[..., j])
-        mrow = attn_mask[:, 0, L - Q:, :].astype(scores.dtype)  # [B, Q, L]
+        # (key j' = h*L + j carries mask[..., j]). NEGATIVE index: a
+        # bidirectional mask's query dim is broadcast to 1 and would slice
+        # empty under L-Q:; -Q: keeps the size-1 row, which broadcasts
+        mrow = attn_mask[:, 0, -Q:, :].astype(scores.dtype)  # [B, Q|1, L]
         scores = scores + jnp.tile(mrow, (1, 1, nh))
         # per-head softmax: reduce each length-L block of the stacked axis
         m = scores.reshape(B, Q, nh, L).max(-1)
@@ -579,6 +584,34 @@ class TransformerLayer(nn.Module):
     # layer that runs with last_query)
     fused_lastq: bool = False
 
+    def _fused_gate(self, x, train):
+        """Shared gate + plumbing for the Pallas layer kernels: returns
+        (params, dropout_rng, kwargs) or None when the kernels can't run
+        here (CPU without interpret, unsupported act/shape, or in-kernel
+        dropout under interpret — pltpu.prng_* has no CPU lowering, like
+        ops/attention.py::short_attention). Param tree identical to the
+        unfused MultiHeadAttention + FeedForward modules."""
+        from unirec_tpu.ops import layer as layer_ops
+        drop_on = train and (self.attn_dropout_prob > 0.0
+                             or self.hidden_dropout_prob > 0.0)
+        if not layer_ops.fused_layer_supported(x, self.hidden_act,
+                                               self.n_heads) \
+                or (drop_on and layer_ops._INTERPRET):
+            return None
+        (dense, ln1) = _MHAParams(self.hidden_size, self.kernel_init,
+                                  name="multi_head_attention")()
+        (d1, d2, ln2) = _FFNParams(self.hidden_size, self.inner_size,
+                                   self.kernel_init, name="feed_forward")()
+        params = tuple(dense) + (ln1, d1, d2, ln2)
+        rng = self.make_rng("dropout") if drop_on else None
+        kwargs = dict(n_heads=self.n_heads, inner_size=self.inner_size,
+                      hidden_act=self.hidden_act,
+                      layer_norm_eps=self.layer_norm_eps,
+                      p_attn=self.attn_dropout_prob,
+                      p_hidden=self.hidden_dropout_prob, train=train,
+                      dropout_rng=rng)
+        return params, kwargs
+
     @nn.compact
     def __call__(self, x, attn_mask, train: bool):
         special = self.last_query or self.head_stacked
@@ -588,52 +621,23 @@ class TransformerLayer(nn.Module):
             # (ops/layer.py::fused_last_query_layer): K/V and their head
             # views never reach HBM. Same param tree as the unfused path.
             from unirec_tpu.ops import layer as layer_ops
-            drop_on = train and (self.attn_dropout_prob > 0.0
-                                 or self.hidden_dropout_prob > 0.0)
-            if layer_ops.fused_layer_supported(x, self.hidden_act,
-                                               self.n_heads) \
-                    and not (drop_on and layer_ops._INTERPRET):
-                (dense, ln1) = _MHAParams(self.hidden_size, self.kernel_init,
-                                          name="multi_head_attention")()
-                (d1, d2, ln2) = _FFNParams(self.hidden_size, self.inner_size,
-                                           self.kernel_init,
-                                           name="feed_forward")()
-                madd = attn_mask[:, 0, -1, :].astype(jnp.float32)
-                params = tuple(dense) + (ln1, d1, d2, ln2)
-                y = layer_ops.fused_last_query_layer(
-                    x, madd, params, n_heads=self.n_heads,
-                    inner_size=self.inner_size, hidden_act=self.hidden_act,
-                    layer_norm_eps=self.layer_norm_eps,
-                    p_attn=self.attn_dropout_prob,
-                    p_hidden=self.hidden_dropout_prob, train=train,
-                    dropout_rng=self.make_rng("dropout") if drop_on else None)
-                return y[:, None, :]
-        if self.fused_layer and not special and not self.qkv_packed:
-            from unirec_tpu.ops import layer as layer_ops
-            drop_on = train and (self.attn_dropout_prob > 0.0
-                                 or self.hidden_dropout_prob > 0.0)
-            # pltpu.prng_* has no CPU interpret lowering — dropout in-kernel
-            # is TPU-only, like ops/attention.py::short_attention
-            if layer_ops.fused_layer_supported(x, self.hidden_act,
-                                               self.n_heads) \
-                    and not (drop_on and layer_ops._INTERPRET):
-                (dense, ln1) = _MHAParams(self.hidden_size, self.kernel_init,
-                                          name="multi_head_attention")()
-                (d1, d2, ln2) = _FFNParams(self.hidden_size, self.inner_size,
-                                           self.kernel_init,
-                                           name="feed_forward")()
+            gate = self._fused_gate(x, train)
+            if gate is not None:
+                params, kwargs = gate
                 # row L-1 of the additive mask is exactly the key-padding
                 # additive row (the causal triangle allows all keys there)
                 madd = attn_mask[:, 0, -1, :].astype(jnp.float32)
-                params = tuple(dense) + (ln1, d1, d2, ln2)
+                y = layer_ops.fused_last_query_layer(x, madd, params,
+                                                     **kwargs)
+                return y[:, None, :]
+        if self.fused_layer and not special and not self.qkv_packed:
+            from unirec_tpu.ops import layer as layer_ops
+            gate = self._fused_gate(x, train)
+            if gate is not None:
+                params, kwargs = gate
+                madd = attn_mask[:, 0, -1, :].astype(jnp.float32)
                 return layer_ops.fused_transformer_layer(
-                    x, madd, params, n_heads=self.n_heads,
-                    inner_size=self.inner_size, hidden_act=self.hidden_act,
-                    layer_norm_eps=self.layer_norm_eps,
-                    p_attn=self.attn_dropout_prob,
-                    p_hidden=self.hidden_dropout_prob,
-                    causal=self.fused_causal, train=train,
-                    dropout_rng=self.make_rng("dropout") if drop_on else None)
+                    x, madd, params, causal=self.fused_causal, **kwargs)
         x = MultiHeadAttention(self.n_heads, self.hidden_size,
                                self.hidden_dropout_prob, self.attn_dropout_prob,
                                self.layer_norm_eps, self.kernel_init,

@@ -179,16 +179,7 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 _MAX_FUSED_SEQ_LEN = 512  # [L, L] f32 row block must fit VMEM comfortably
 
 
-def _keep_mask(shape, p_drop: float):
-    """Bernoulli(1 - p_drop) from the in-kernel PRNG, computed entirely in
-    the signed-int32 domain: Mosaic has no uint32->f32 cast, and the raw
-    bits are signed (a naive float conversion gave keep-rate 0.40 instead
-    of 0.90 at p=0.1 — measured). bits is uniform over [-2^31, 2^31), so
-    P(bits >= t) = 1 - p_drop at t = -2^31 + p_drop * 2^32."""
-    bits = pltpu.prng_random_bits(shape)
-    t = int(round(-(2 ** 31) + p_drop * 2 ** 32))
-    t = min(max(t, -(2 ** 31)), 2 ** 31 - 1)
-    return bits >= jnp.int32(t)
+from unirec_tpu.ops.common import keep_mask as _keep_mask  # shared derivation
 
 
 def _program_seed(seed_ref):

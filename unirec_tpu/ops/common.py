@@ -19,3 +19,16 @@ def mm_precision(*dtypes):
     if any(jnp.dtype(d) != jnp.float32 for d in dtypes):
         return jax.lax.Precision.DEFAULT
     return None
+
+
+def keep_mask(shape, p_drop: float):
+    """Bernoulli(1 - p_drop) from the in-kernel PRNG, computed entirely in
+    the signed-int32 domain: Mosaic has no uint32->f32 cast, and the raw
+    bits are signed (a naive float conversion gave keep-rate 0.40 instead
+    of 0.90 at p=0.1 — measured). bits is uniform over [-2^31, 2^31), so
+    P(bits >= t) = 1 - p_drop at t = -2^31 + p_drop * 2^32."""
+    from jax.experimental.pallas import tpu as pltpu
+    bits = pltpu.prng_random_bits(shape)
+    t = int(round(-(2 ** 31) + p_drop * 2 ** 32))
+    t = min(max(t, -(2 ** 31)), 2 ** 31 - 1)
+    return bits >= jnp.int32(t)

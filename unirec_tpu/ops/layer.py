@@ -114,26 +114,42 @@ SUPPORTED_ACTS = ("relu", "swish", "gelu", "tanh", "sigmoid")
 
 
 # ------------------------------------------------------------------- dropout
-def _keep_mask(shape, p_drop: float):
-    """Bernoulli(1-p) from the in-kernel PRNG in the signed-int32 domain
-    (same derivation as ops/attention.py::_keep_mask)."""
-    bits = pltpu.prng_random_bits(shape)
-    t = int(round(-(2 ** 31) + p_drop * 2 ** 32))
-    t = min(max(t, -(2 ** 31)), 2 ** 31 - 1)
-    return bits >= jnp.int32(t)
+# Masks are drawn at a CANONICAL granularity of SUB=8 examples, seeded by
+# the GLOBAL sub-block index (program_id * n_sub + j) — NOT by program id
+# alone. The forward and backward kernels launch with different block
+# sizes (UNIREC_LAYER_MB=64 vs UNIREC_LAYER_MB_BWD=16), so a per-program
+# seed would regenerate DIFFERENT masks in the backward than the forward
+# applied (silently wrong dropout gradients at any B >= 2 blocks; caught
+# by tests/test_kernels.py::test_fused_layer_dropout_grads_across_grids).
+# With the global-sub-block scheme the mask for example i depends only on
+# (seed, site, i // 8), identical under every legal grid: _block_rows
+# guarantees blocks are multiples of 8 examples, or the whole batch on
+# BOTH sides when B itself is not (n_sub falls back to 1 consistently).
+SUB = 8
 
 
-def _site_seed(seed_ref, site: int):
-    # distinct deterministic seed per (program, dropout site): backward can
-    # regenerate any site's mask independently, in any order
-    return seed_ref[0] + pl.program_id(0) * 7919 + site * 613
+from unirec_tpu.ops.common import keep_mask as _keep_mask  # shared derivation
 
 
-def _dropped(x, seed_ref, site: int, p: float):
+def _keep_canonical(seed_ref, site: int, mb: int, shape, p: float):
+    """Keep-mask of ``shape`` (axis 0 = mb * rows_per_example) assembled
+    from SUB-example sub-draws with grid-independent seeds."""
+    n_sub = mb // SUB if mb % SUB == 0 else 1
+    step = shape[0] // n_sub
+    parts = []
+    for j in range(n_sub):
+        g = pl.program_id(0) * n_sub + j
+        pltpu.prng_seed(seed_ref[0] + g * 7919 + site * 613)
+        parts.append(_keep_mask((step,) + tuple(shape[1:]), p))
+    return parts[0] if n_sub == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _dropped(x, seed_ref, site: int, p: float, mb: int):
+    """Dropout over a block holding ``mb`` examples on (a multiple of)
+    axis 0 — [mb*L, D] activations and [mb, ...] rows both qualify."""
     if p <= 0.0:
         return x
-    pltpu.prng_seed(_site_seed(seed_ref, site))
-    keep = _keep_mask(x.shape, p)
+    keep = _keep_canonical(seed_ref, site, mb, x.shape, p)
     return jnp.where(keep, x * (1.0 / (1.0 - p)), jnp.zeros_like(x))
 
 
@@ -207,8 +223,7 @@ def _attention_heads(x2, madd, wqkv, bqkv, seed_ref, *, mb, L, nh, hd,
         if save:
             bundle.append((qh, kh, vh, p))               # pre-dropout probs
         if train and p_attn > 0.0:
-            pltpu.prng_seed(_site_seed(seed_ref, h))
-            keep = _keep_mask(p.shape, p_attn)
+            keep = _keep_canonical(seed_ref, h, mb, p.shape, p_attn)
             p = jnp.where(keep, p * (1.0 / (1.0 - p_attn)), 0.0)
         ch = _bdot(p.astype(dt), vh, 2, 1)               # [MB, L, hd] f32
         ctx_heads.append(ch.astype(dt).reshape(mb * L, hd))
@@ -232,7 +247,7 @@ def _layer_fwd_kernel(x_ref, madd_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     o = (_dot(ctx, wo_ref[...])
          .astype(dt) + bo_ref[...])
     if train:
-        o = _dropped(o, seed_ref, nh, p_hidden)
+        o = _dropped(o, seed_ref, nh, p_hidden, mb)
     r1 = (o + x2).astype(jnp.float32)
     x1f, _, _ = _ln_fwd(r1, g1_ref[...], c1b_ref[...], eps)
     x1 = x1f.astype(dt)
@@ -242,7 +257,7 @@ def _layer_fwd_kernel(x_ref, madd_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     h2 = (_dot(hm, w2_ref[...])
           .astype(dt) + b2_ref[...])
     if train:
-        h2 = _dropped(h2, seed_ref, nh + 1, p_hidden)
+        h2 = _dropped(h2, seed_ref, nh + 1, p_hidden, mb)
     r2 = (h2 + x1).astype(jnp.float32)
     yf, _, _ = _ln_fwd(r2, g2_ref[...], c2b_ref[...], eps)
     y_ref[...] = yf.astype(dt).reshape(mb, L, D)
@@ -273,8 +288,7 @@ def _layer_bwd_kernel(x_ref, madd_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     o = (_dot(ctx, wo_ref[...])
          .astype(dt) + bo_ref[...])
     if train and p_hidden > 0.0:
-        pltpu.prng_seed(_site_seed(seed_ref, nh))
-        keep_o = _keep_mask(o.shape, p_hidden)
+        keep_o = _keep_canonical(seed_ref, nh, mb, o.shape, p_hidden)
         od = jnp.where(keep_o, o * inv_h, jnp.zeros_like(o))
     else:
         od = o
@@ -288,8 +302,7 @@ def _layer_bwd_kernel(x_ref, madd_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     h2 = (_dot(hm, w2_ref[...])
           .astype(dt) + b2_ref[...])
     if train and p_hidden > 0.0:
-        pltpu.prng_seed(_site_seed(seed_ref, nh + 1))
-        keep_2 = _keep_mask(h2.shape, p_hidden)
+        keep_2 = _keep_canonical(seed_ref, nh + 1, mb, h2.shape, p_hidden)
         h2d = jnp.where(keep_2, h2 * inv_h, jnp.zeros_like(h2))
     else:
         h2d = h2
@@ -327,8 +340,7 @@ def _layer_bwd_kernel(x_ref, madd_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         qh, kh, vh, p = heads[h]                            # p: PRE-dropout
         dch = dctx[:, h * hd:(h + 1) * hd].reshape(mb, L, hd)
         if train and p_attn > 0.0:
-            pltpu.prng_seed(_site_seed(seed_ref, h))
-            keep = _keep_mask(p.shape, p_attn)              # same mask as fwd
+            keep = _keep_canonical(seed_ref, h, mb, p.shape, p_attn)  # same mask as fwd
             pz = jnp.where(keep, p * inv_a, 0.0)            # post-dropout
         else:
             keep, pz = None, p
@@ -520,15 +532,14 @@ def _lastq_fwd_kernel(x_ref, madd_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         if train and p_attn > 0.0:
-            pltpu.prng_seed(_site_seed(seed_ref, h))
-            keep = _keep_mask(p.shape, p_attn)
+            keep = _keep_canonical(seed_ref, h, mb, p.shape, p_attn)
             p = jnp.where(keep, p * (1.0 / (1.0 - p_attn)), 0.0)
         ch = _bdot(p.astype(dt), vh, 2, 1)                 # [mb, 1, hd] f32
         ctx_heads.append(ch.reshape(mb, hd).astype(dt))
     ctx = jnp.concatenate(ctx_heads, axis=-1)              # [mb, D]
     o = (_dot(ctx, wo_ref[...]).astype(dt) + bo_ref[...])
     if train:
-        o = _dropped(o, seed_ref, nh, p_hidden)
+        o = _dropped(o, seed_ref, nh, p_hidden, mb)
     r1 = (o + xq).astype(jnp.float32)
     x1f, _, _ = _ln_fwd(r1, g1_ref[...], c1b_ref[...], eps)
     x1 = x1f.astype(dt)
@@ -536,7 +547,7 @@ def _lastq_fwd_kernel(x_ref, madd_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     hm = act_f(u.astype(jnp.float32)).astype(dt)
     h2 = (_dot(hm, w2_ref[...]).astype(dt) + b2_ref[...])
     if train:
-        h2 = _dropped(h2, seed_ref, nh + 1, p_hidden)
+        h2 = _dropped(h2, seed_ref, nh + 1, p_hidden, mb)
     r2 = (h2 + x1).astype(jnp.float32)
     yf, _, _ = _ln_fwd(r2, g2_ref[...], c2b_ref[...], eps)
     y_ref[...] = yf.astype(dt)
@@ -578,8 +589,7 @@ def _lastq_bwd_kernel(x_ref, madd_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         p = p / jnp.sum(p, axis=-1, keepdims=True)         # pre-dropout
         heads.append((qh, kh, vh, p))
         if train and p_attn > 0.0:
-            pltpu.prng_seed(_site_seed(seed_ref, h))
-            keep = _keep_mask(p.shape, p_attn)
+            keep = _keep_canonical(seed_ref, h, mb, p.shape, p_attn)
             pz = jnp.where(keep, p * inv_a, 0.0)
         else:
             pz = p
@@ -588,8 +598,7 @@ def _lastq_bwd_kernel(x_ref, madd_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     ctx = jnp.concatenate(ctx_heads, axis=-1)
     o = (_dot(ctx, wo_ref[...]).astype(dt) + bo_ref[...])
     if train and p_hidden > 0.0:
-        pltpu.prng_seed(_site_seed(seed_ref, nh))
-        keep_o = _keep_mask(o.shape, p_hidden)
+        keep_o = _keep_canonical(seed_ref, nh, mb, o.shape, p_hidden)
         od = jnp.where(keep_o, o * inv_h, jnp.zeros_like(o))
     else:
         od = o
@@ -601,8 +610,7 @@ def _lastq_bwd_kernel(x_ref, madd_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     hm = act_f(uf).astype(dt)
     h2 = (_dot(hm, w2_ref[...]).astype(dt) + b2_ref[...])
     if train and p_hidden > 0.0:
-        pltpu.prng_seed(_site_seed(seed_ref, nh + 1))
-        keep_2 = _keep_mask(h2.shape, p_hidden)
+        keep_2 = _keep_canonical(seed_ref, nh + 1, mb, h2.shape, p_hidden)
         h2d = jnp.where(keep_2, h2 * inv_h, jnp.zeros_like(h2))
     else:
         h2d = h2
@@ -641,8 +649,7 @@ def _lastq_bwd_kernel(x_ref, madd_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         dch = (dctx[:, h * hd:(h + 1) * hd].astype(jnp.float32)
                [:, None, :].astype(dt))
         if train and p_attn > 0.0:
-            pltpu.prng_seed(_site_seed(seed_ref, h))
-            keep = _keep_mask(p.shape, p_attn)
+            keep = _keep_canonical(seed_ref, h, mb, p.shape, p_attn)
             pz = jnp.where(keep, p * inv_a, 0.0)
         else:
             keep, pz = None, p
@@ -813,6 +820,11 @@ def fused_layer_supported(x, hidden_act: str, n_heads: int) -> bool:
     if hidden_act not in SUPPORTED_ACTS:
         return False
     if D % n_heads or (D // n_heads) % 8 or L > 512:
+        return False
+    # _block_rows falls back to ONE whole-batch program when B is not a
+    # multiple of 8; fine for tiny batches, but at production sizes that
+    # block cannot fit the 16 MB scoped-VMEM limit — use the XLA path
+    if B % 8 != 0 and B > 128:
         return False
     return True
 
