@@ -19,6 +19,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.rehearsal
+
 # goldens from the reference test suite (SURVEY.md §6)
 GOLDEN = {
     "SASRec": {"hit@5": 0.04792, "ndcg@5": 0.03184},

@@ -32,6 +32,8 @@ import shutil
 
 import pytest
 
+pytestmark = pytest.mark.rehearsal
+
 TOL = 0.05  # the reference's own golden tolerance (test_seq_model.py:18-19)
 
 # reference GLOBAL_CONF (test_seq_model.py:21-56), shared verbatim by both

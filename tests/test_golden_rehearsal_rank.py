@@ -34,6 +34,8 @@ import zipfile
 
 import pytest
 
+pytestmark = pytest.mark.rehearsal
+
 REFERENCE = "/root/reference"
 
 GOLDEN = {  # the published goldens, for context only (real data)
@@ -85,9 +87,16 @@ MODEL2EXTRA = {
     "FM": {},
     "BST": {},
     "AdaRanker": {"base_model": "GRU", "train_type": "Ada-Ranker"},
+    # same model, reference's non-adaptive training mode (train_type
+    # dispatch at reference unirec/model/rank/adaranker.py) — recorded so
+    # the Ada vs Base delta is visible in the evidence table
+    "AdaRanker-Base": {"base_model": "GRU", "train_type": "Base"},
 }
+MODEL2NAME = {m: m.split("-")[0] for m in MODEL2EXTRA}
+MODEL2DATASET["AdaRanker-Base"] = MODEL2DATASET["AdaRanker"]
+MODEL2DATALOADER["AdaRanker-Base"] = MODEL2DATALOADER["AdaRanker"]
 _FULL = bool(os.environ.get("UNIREC_REHEARSAL_FULL"))
-MODELS = ["FM", "BST", "AdaRanker"] if _FULL else ["FM"]
+MODELS = ["FM", "BST", "AdaRanker", "AdaRanker-Base"] if _FULL else ["FM"]
 # The torch reference needs ~5 CPU-minutes PER EPOCH on the 1.3M-row libfm
 # train set, so the default budget is 3 epochs — mutual parity at an
 # equal epoch budget is the claim under test. UNIREC_REHEARSAL_EPOCHS
@@ -215,12 +224,26 @@ def rank_datasets(tmp_path_factory):
     return outroot, cfg_dir, infos
 
 
+def _record(case, side, metrics):
+    """Append one evidence line when UNIREC_REHEARSAL_RECORD names a file —
+    used to persist the 20-epoch published-budget run for docs/evidence."""
+    path = os.environ.get("UNIREC_REHEARSAL_RECORD")
+    if not path:
+        return
+    with open(path, "a") as f:
+        f.write(json.dumps({
+            "case": case, "side": side, "epochs": RANK_CONF["epochs"],
+            "metrics": metrics}) + "\n")
+        f.flush()
+
+
 def _run_reference(cfg_dir, outroot, out_dir, model):
     from unirec.main import main as refmain
     ds = MODEL2DATASET[model]
     args = dict(RANK_CONF)
     args.update({
-        "config_dir": cfg_dir, "exp_name": f"ref-{model}", "model": model,
+        "config_dir": cfg_dir, "exp_name": f"ref-{model}",
+        "model": MODEL2NAME[model],
         "dataloader": MODEL2DATALOADER[model], "dataset": ds,
         # the reference's own tests join dataset_path with the dataset name
         # before calling run (test_rank_model.py:102)
@@ -229,7 +252,9 @@ def _run_reference(cfg_dir, outroot, out_dir, model):
         "num_workers": 0, "num_workers_test": 0, "verbose": 2,
     })
     args.update(MODEL2EXTRA[model])
-    return {k: float(v) for k, v in refmain.run(args).items()}
+    out = {k: float(v) for k, v in refmain.run(args).items()}
+    _record(model, "reference", out)
+    return out
 
 
 def _run_ours(outroot, infos, out_dir, model):
@@ -239,7 +264,8 @@ def _run_ours(outroot, infos, out_dir, model):
     fmt = ("label-index_group-value_group" if model == "FM"
            else "user-item_group-label_group")
     conf.update(
-        model=model, dataloader=MODEL2DATALOADER[model], dataset=ds,
+        model=MODEL2NAME[model], dataloader=MODEL2DATALOADER[model],
+        dataset=ds,
         dataset_path=os.path.join(outroot, ds), output_path=out_dir,
         exp_name=f"ours-{model}", task="train", verbose=1,
         train_file_format=fmt, valid_file_format=fmt, test_file_format=fmt,
@@ -247,7 +273,9 @@ def _run_ours(outroot, infos, out_dir, model):
         **MODEL2EXTRA[model])
     if "n_feats" in infos[ds]:
         conf["n_feats"] = infos[ds]["n_feats"]
-    return {k: float(v) for k, v in main.run(conf).items()}
+    out = {k: float(v) for k, v in main.run(conf).items()}
+    _record(model, "ours", out)
+    return out
 
 
 @pytest.mark.parametrize("model", MODELS)

@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.rehearsal
+
 REFERENCE = "/root/reference"
 
 
