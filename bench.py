@@ -171,7 +171,13 @@ def main():
                          + 2 * D * D        # out projection
                          + 4 * D * F)       # FFN, one row
     kernel_flops = 4 * full_layer_fwd + 4 * lastq_fwd  # (1 fwd + ~3x bwd)
-    flops_per_step += kernel_flops
+    # Only add the correction when the fused kernels actually engage: on a
+    # non-TPU run the XLA fallback's matmuls are already in cost_analysis,
+    # and adding the analytic count would double-count them (r4 advisor).
+    from unirec_tpu.ops import layer as layer_ops
+    if layer_ops.fused_layer_supported(
+            jnp.zeros((BATCH, SEQ_LEN, EMB_DIM)), "swish", H, F):
+        flops_per_step += kernel_flops
 
     params, opt_state, loss = step(params, opt_state, jb,
                                    jax.random.fold_in(key, 0))

@@ -63,12 +63,27 @@ def test_tpu_fast_defaults(monkeypatch):
                                      argv=["--compute_dtype", "float32"])
     assert cfg["compute_dtype"] == "float32"  # explicit CLI layer wins
 
-    cfg = config_mod.parse_arguments(
-        {"model": "SASRec", "dropout_rng_impl": "rbg", "dropout_bits": 8},
-        argv=["--reproducible", "1"])
+    import warnings
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        cfg = config_mod.parse_arguments(
+            {"model": "SASRec", "dropout_rng_impl": "rbg",
+             "dropout_bits": 8},
+            argv=["--reproducible", "1"])
     assert cfg["compute_dtype"] == "float32"
     assert cfg["dropout_rng_impl"] == "threefry"
     assert cfg["dropout_bits"] == 32
+    # the override of explicitly-set rng flags must be loud (r4 advisor)
+    msgs = [str(w.message) for w in rec]
+    assert any("--reproducible overrides" in m and "dropout_rng_impl" in m
+               for m in msgs), msgs
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        config_mod.parse_arguments({"model": "SASRec"},
+                                   argv=["--reproducible", "1"])
+    assert not [m for m in rec
+                if "--reproducible overrides" in str(m.message)]
 
 
 def test_cpu_backend_keeps_f32_default():

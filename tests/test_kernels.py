@@ -1545,3 +1545,56 @@ def test_fused_layer_dropout_grads_across_grids(flags, mbk, bwdk,
         got = grad_with(mb, mb_bwd)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(base),
                                       err_msg=f"grid {mb}/{mb_bwd}")
+
+
+def test_fused_layer_vmem_gate_scales_blocks():
+    """The gate and the pallas_call wrappers share one calibrated footprint
+    rule (r4 advisor: the old gate admitted L<=512 with blocks sized for
+    L=56, failing Mosaic at runtime; boundaries re-measured on a real chip
+    — see ops/layer.py::_FWD_CAP). Bench shape keeps the adopted 64/16
+    blocks; L=128 auto-shrinks to 32/8 (compile-verified on TPU); L=256
+    has no legal backward block, so the gate must route to XLA."""
+    import unirec_tpu.ops.layer as LY
+
+    B, D, F = 1024, 64, 256
+    args = lambda L, env, d, cap: (B, -(-L // 8) * 8, D, F, env, d, cap)
+    fwd = lambda L: LY._fit_mb(*args(L, "UNIREC_LAYER_MB", 64, LY._FWD_CAP))
+    bwd = lambda L: LY._fit_mb(*args(L, "UNIREC_LAYER_MB_BWD", 16,
+                                     LY._BWD_CAP))
+    assert (fwd(50), bwd(50)) == (64, 16)
+    assert (fwd(128), bwd(128)) == (32, 8)
+    assert bwd(256) == 0
+
+    old = LY._INTERPRET
+    LY._INTERPRET = True
+    try:
+        import jax.numpy as jnp
+        gate = lambda L: LY.fused_layer_supported(
+            jnp.zeros((B, L, D)), "gelu", 2, F)
+        assert gate(50) and gate(128) and not gate(256)
+        # odd batch: whole-batch fallback only when the single program fits
+        # BOTH directions (the old gate's "B <= 128" rule admitted batches
+        # several times the measured-safe 16-row backward block)
+        assert LY.fused_layer_supported(jnp.zeros((20, 50, D)), "gelu",
+                                        2, F)
+        assert not LY.fused_layer_supported(jnp.zeros((100, 50, D)),
+                                            "gelu", 2, F)
+    finally:
+        LY._INTERPRET = old
+
+
+def test_member_supported_gates_whole_batch_fallback():
+    """member_supported rejects shapes whose B%8!=0 whole-batch fallback
+    block exceeds the scoped-VMEM budget (r4 advisor: B=32k, C=200 odd
+    batches crashed Mosaic instead of falling back to XLA)."""
+    from unirec_tpu.ops import member
+
+    old = member._INTERPRET
+    member._INTERPRET = True
+    try:
+        assert member.member_supported()
+        assert member.member_supported(1024, 200, 200)
+        assert member.member_supported(100, 200, 200)   # tiny odd batch
+        assert not member.member_supported(32_000 + 1, 200, 200)
+    finally:
+        member._INTERPRET = old

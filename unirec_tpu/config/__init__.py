@@ -142,9 +142,21 @@ def _apply_tpu_fast_defaults(config: Dict[str, Any], explicit: set) -> None:
     threefry dropout) wholesale.
     """
     if config.get("reproducible"):
-        config["compute_dtype"] = "float32"
-        config["dropout_rng_impl"] = "threefry"
-        config["dropout_bits"] = 32
+        repro = {"compute_dtype": "float32",
+                 "dropout_rng_impl": "threefry", "dropout_bits": 32}
+        clobbered = sorted(k for k in repro
+                           if k in explicit and config.get(k) != repro[k])
+        if clobbered:
+            # reproducible is a wholesale switch and wins, but not silently
+            # — the documented rule is "explicit setting from any layer
+            # wins", and these explicit values are being replaced
+            import warnings
+            warnings.warn(
+                "--reproducible overrides explicitly-set "
+                + ", ".join(f"{k}={config[k]!r}" for k in clobbered)
+                + " with the bit-reproducible defaults "
+                + str(repro), stacklevel=2)
+        config.update(repro)
         return
     try:
         import jax

@@ -116,7 +116,8 @@ class DeviceAugmenter:
         if sorted_rows is None:
             if self.use_pallas_membership:
                 from unirec_tpu.ops import member
-                if member.member_supported():
+                if member.member_supported(rows.shape[0], rows.shape[1],
+                                           cand.shape[1]):
                     return member.member_mask(rows, cand)
             hit = (cand[:, :, None] == rows[:, None, :]) & (cand[:, :, None] > 0)
             return hit.any(-1)

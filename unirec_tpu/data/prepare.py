@@ -199,6 +199,11 @@ def convert_adjacency(split_dir: str, out_dir: str, sep: str = " ",
                                    np.int64)
                 if len(items) == 0:
                     continue
+                # a user id may span multiple lines (malformed or chunked
+                # exports) — concatenate rather than silently overwriting
+                # the earlier line's interactions (r4 advisor finding)
+                if u in rows:
+                    items = np.concatenate([rows[u], items])
                 rows[u] = items
                 n_users = max(n_users, u + 1)
                 n_items = max(n_items, int(items.max()) + 1)

@@ -595,7 +595,8 @@ class TransformerLayer(nn.Module):
         drop_on = train and (self.attn_dropout_prob > 0.0
                              or self.hidden_dropout_prob > 0.0)
         if not layer_ops.fused_layer_supported(x, self.hidden_act,
-                                               self.n_heads) \
+                                               self.n_heads,
+                                               self.inner_size) \
                 or (drop_on and layer_ops._INTERPRET):
             return None
         (dense, ln1) = _MHAParams(self.hidden_size, self.kernel_init,
@@ -721,7 +722,8 @@ class TransformerEncoder(nn.Module):
             drop_on = train and (self.attn_dropout_prob > 0.0
                                  or self.hidden_dropout_prob > 0.0)
             if layer_ops.fused_layer_supported(x, self.hidden_act,
-                                               self.n_heads) \
+                                               self.n_heads,
+                                               self.inner_size) \
                     and not (drop_on and layer_ops._INTERPRET):
                 B, L, D = x.shape
                 madd = attn_mask[:, 0, -1, :].astype(jnp.float32)

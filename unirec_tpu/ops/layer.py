@@ -376,6 +376,43 @@ def _block_rows(B: int, env: str, default: int) -> int:
     return max(mb, 1)
 
 
+# Calibrated scoped-VMEM budgets, in footprint ELEMENTS
+# mb * Lp * (Lp + 2*(D + F)): the quadratic term models the per-head
+# score/prob (+ backward recompute) arrays, the linear term the x/qkv/ffn
+# blocks. Caps sit between Mosaic-compile-measured OK/FAIL boundary points
+# on a real TPU at D=64, F=256 (r5 probe):
+#   fwd : OK (mb=64,Lp=56) 2.49M, (32,128) 3.15M, (8,256) 1.83M;
+#         FAIL (128,56) 4.99M, (64,128) 6.29M          -> cap 3.2M
+#   bwd : OK (16,56) 0.62M, (8,128) 0.79M;
+#         FAIL (32,56) 1.25M, (16,128) 1.57M, (8,256) 1.83M -> cap 0.8M
+_FWD_CAP = 3_200_000
+_BWD_CAP = 800_000
+
+
+def _footprint(mb: int, Lp: int, D: int, F: int) -> int:
+    return mb * Lp * (Lp + 2 * (D + F))
+
+
+def _fit_mb(B: int, Lp: int, D: int, F: int, env: str, default: int,
+            cap: int) -> int:
+    """Largest legal block whose footprint fits the calibrated scoped-VMEM
+    budget; 0 when nothing legal fits (fused_layer_supported applies the
+    same rule, so the pallas_call wrappers never see 0). An explicit
+    UNIREC_LAYER_MB* env override is trusted as user-measured and bypasses
+    the cap."""
+    if os.environ.get(env):
+        return _block_rows(B, env, default)
+    mb = _block_rows(B, env, default)
+    while _footprint(mb, Lp, D, F) > cap:
+        half = mb // 2
+        if half < 8 or B % half or half % 8:
+            break
+        mb = half
+    if _footprint(mb, Lp, D, F) > cap:
+        return 0
+    return mb
+
+
 def _pad_L(x, madd, L):
     """Pad the sequence dim to a sublane multiple; padded keys are forbidden
     with a hard -1e30 (probability exactly 0 — the reference's soft -1e4
@@ -425,8 +462,9 @@ def _fused_layer_fwd_impl(x, madd, flat_weights, static, seed):
     B, L, D = x.shape
     xp, mp, Lp = _pad_L(x, madd, L)
     # MB=128 at bench shapes (L=50->56, D=64) peaks ~19 MB of VMEM (>16 MB
-    # scoped limit, measured on v5e); 64 fits with headroom
-    mb = _block_rows(B, "UNIREC_LAYER_MB", 64)
+    # scoped limit, measured on v5e); 64 fits with headroom. Longer L
+    # shrinks the block to hold mb*Lp^2 at the calibrated budget.
+    mb = _fit_mb(B, Lp, D, F, "UNIREC_LAYER_MB", 64, _FWD_CAP)
     xs, ms, w_specs, seed_spec = _specs(B, Lp, D, F, mb)
     kern = functools.partial(
         _layer_fwd_kernel, nh=nh, hd=hd, F=F, p_attn=p_attn,
@@ -455,7 +493,7 @@ def _fused_layer_bwd(static, res, g):
     # backward holds the full per-head recompute bundle live; 32 peaks
     # ~19.4 MB of scoped VMEM at bench shapes (>16 MB limit, v5e) — 16 fits
     # and measured 112 ms vs the 124.9 ms unfused baseline
-    mb = _block_rows(B, "UNIREC_LAYER_MB_BWD", 16)
+    mb = _fit_mb(B, Lp, D, F, "UNIREC_LAYER_MB_BWD", 16, _BWD_CAP)
     n_prog = B // mb
     xs, ms, w_specs, seed_spec = _specs(B, Lp, D, F, mb)
     kern = functools.partial(
@@ -813,7 +851,8 @@ def fused_last_query_layer(x, madd, params, *, n_heads: int, inner_size: int,
     return _fused_lastq(x, madd, flat, static, seed)
 
 
-def fused_layer_supported(x, hidden_act: str, n_heads: int) -> bool:
+def fused_layer_supported(x, hidden_act: str, n_heads: int,
+                          inner_size: int | None = None) -> bool:
     if jax.default_backend() != "tpu" and not _INTERPRET:
         return False
     B, L, D = x.shape
@@ -821,12 +860,17 @@ def fused_layer_supported(x, hidden_act: str, n_heads: int) -> bool:
         return False
     if D % n_heads or (D // n_heads) % 8 or L > 512:
         return False
-    # _block_rows falls back to ONE whole-batch program when B is not a
-    # multiple of 8; fine for tiny batches, but at production sizes that
-    # block cannot fit the 16 MB scoped-VMEM limit — use the XLA path
-    if B % 8 != 0 and B > 128:
-        return False
-    return True
+    # Both directions must fit the calibrated scoped-VMEM budget at some
+    # legal block size (r4 advisor: the old gate admitted L up to 512 with
+    # default blocks sized for L=56, which Mosaic rejects at runtime —
+    # reproduced, then boundary-probed on a real chip; see _FWD_CAP).
+    # This also covers the B%8!=0 whole-batch fallback: an odd batch only
+    # passes when the single whole-batch program itself fits the budget.
+    F = int(inner_size) if inner_size else 4 * D
+    Lp = -(-L // 8) * 8
+    return bool(_fit_mb(B, Lp, D, F, "UNIREC_LAYER_MB", 64, _FWD_CAP)
+                and _fit_mb(B, Lp, D, F, "UNIREC_LAYER_MB_BWD", 16,
+                            _BWD_CAP))
 
 
 def fused_transformer_layer(x, madd, params, *, n_heads: int, inner_size: int,

@@ -64,5 +64,19 @@ def member_mask(rows: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
     )(rows.astype(jnp.int32), cand.astype(jnp.int32))
 
 
-def member_supported() -> bool:
-    return jax.default_backend() == "tpu" or _INTERPRET
+def member_supported(B: int | None = None, C: int | None = None,
+                     K: int | None = None) -> bool:
+    """Backend gate, plus (when shapes are given) the same block-footprint
+    rule ops/layer.py applies: when B is not a multiple of 8, _block_rows
+    falls back to ONE whole-batch program, and at production shapes
+    (e.g. B=32k, C=200) that block is tens of MB of int32 — beyond the
+    16 MB scoped-VMEM limit. Reject those so the caller keeps the XLA
+    broadcast-compare instead of crashing in Mosaic."""
+    if jax.default_backend() != "tpu" and not _INTERPRET:
+        return False
+    if B is None:
+        return True
+    mb = _block_rows(B, 512)
+    # rows [mb, C] + cand [mb, K] int32 + out [mb, K] bool + the broadcast
+    # compare intermediate; cap the block at ~4 MB for headroom
+    return mb * (C + 3 * (K or 0)) * 4 <= 4 * 2 ** 20
