@@ -177,3 +177,36 @@ def test_resume_preserves_zero_patience():
     t.resume("ignored")
     assert t.cur_step == 0
     assert t.cur_epoch == 3 and t._global_step == 42
+
+
+def test_keyboard_interrupt_falls_through_to_test_eval(synth_dataset,
+                                                       tmp_path,
+                                                       monkeypatch):
+    """Ctrl-C during fit still evaluates on the test set and persists the
+    result.tsv (reference main.py:376-377). Injected deterministically: the
+    epoch-2 validation raises KeyboardInterrupt AFTER epoch 1 saved a best
+    checkpoint; the final test evaluation (a later call) runs normally."""
+    from unirec_tpu.facility.trainer import Trainer
+
+    root, _ = synth_dataset
+    out = os.path.join(str(tmp_path), "kbint")
+    conf = _mf_conf(root, out, epochs=5, exp_name="kbint")
+
+    real_evaluate = Trainer.evaluate
+    calls = {"n": 0}
+
+    def interrupting_evaluate(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # epoch-2 validation, mid-fit
+            raise KeyboardInterrupt
+        return real_evaluate(self, *a, **kw)
+
+    monkeypatch.setattr(Trainer, "evaluate", interrupting_evaluate)
+    res = main.run(conf)
+    assert res and all(np.isfinite(v) for v in res.values())
+    assert calls["n"] >= 3  # the post-interrupt test eval did run
+    res_file = os.path.join(out, "kbint.result.tsv")
+    assert os.path.exists(res_file)
+    with open(res_file) as f:
+        header, values = f.read().strip().split("\n")
+    assert len(header.split("\t")) == len(values.split("\t"))

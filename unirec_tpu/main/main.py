@@ -257,13 +257,23 @@ def run(args: Dict[str, Any]) -> Optional[Dict[str, float]]:
                 train_batcher = make_train_batcher(train_ds, tcfg, history,
                                                    item_popularity=item_pop,
                                                    features=features)
-            driver.fit(train_batcher, valid_batcher,
-                       load_pretrained_model=bool(config.get("load_pretrained_model")),
-                       model_file=config.get("model_file"),
-                       verbose=int(config.get("verbose", 1)))
+            try:
+                driver.fit(train_batcher, valid_batcher,
+                           load_pretrained_model=bool(config.get("load_pretrained_model")),
+                           model_file=config.get("model_file"),
+                           verbose=int(config.get("verbose", 1)))
+            except KeyboardInterrupt:
+                # reference main.py:376-377: Ctrl-C during fit still falls
+                # through to test evaluation and persists the results
+                logger.info("Keyboard interrupt: stopping the training and "
+                            "start evaluating on the test set.")
         else:
             graph = train_ds.get_graph()
-            driver.fit(graph, valid_batcher)
+            try:
+                driver.fit(graph, valid_batcher)
+            except KeyboardInterrupt:
+                logger.info("Keyboard interrupt: stopping the training and "
+                            "start evaluating on the test set.")
 
         if _exists_any(dpath, test_name):
             test_batcher, scfg = build_eval("test", test_name)
