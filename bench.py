@@ -101,6 +101,11 @@ def build(**overrides):
         "compute_dtype": "bfloat16", "dropout_rng_impl": "rbg",
         "dropout_bits": 8, "last_query_only": 1, "fused_layer": 1,
         "fused_lastq": 1,
+        # round-5 lever: VMEM-resident embedding-grad scatter-accumulate
+        # (ops/scatter_accum.py) — the [50k, 64] table accumulates in VMEM,
+        # removing the ~15 ns/row HBM random-access toll of XLA's scatter;
+        # measured 108.7 -> 97.5 ms/step (fused+vmemscatter), same loss
+        "vmem_embedding_grad": 1,
         **overrides,
     }, argv=[])
     model = get_model_class("SASRec")(cfg=cfg)

@@ -159,6 +159,14 @@ VARIANTS = {
                      "dropout_rng_impl": "rbg", "dropout_bits": 8,
                      "last_query_only": 1, "fused_layer": 1,
                      "fused_lastq": 1, "neg_membership_pallas": 1},
+    # round-5: VMEM-resident scatter-accumulate for the embedding grads
+    # (ops/scatter_accum.py) — the whole [50k, 64] table accumulates in
+    # VMEM, removing the ~15 ns/row HBM random-access toll of XLA's
+    # scatter (24 ms of the 108 ms step; micro: 21 ms vs 24)
+    "fused+vmemscatter": {"use_pallas": 0, "compute_dtype": "bfloat16",
+                          "dropout_rng_impl": "rbg", "dropout_bits": 8,
+                          "last_query_only": 1, "fused_layer": 1,
+                          "fused_lastq": 1, "vmem_embedding_grad": 1},
 }
 
 

@@ -1598,3 +1598,55 @@ def test_member_supported_gates_whole_batch_fallback():
         assert not member.member_supported(32_000 + 1, 200, 200)
     finally:
         member._INTERPRET = old
+
+
+def test_vmem_scatter_accum_matches_numpy():
+    """ops/scatter_accum.py: both VMEM scatter-accumulate kernels ==
+    np.add.at, including non-8-aligned table sizes (the boundary tile RMW
+    must not run out of bounds) and M not a block multiple (zero-padding)."""
+    from unirec_tpu.ops import scatter_accum as SA
+
+    old = SA._INTERPRET
+    SA._INTERPRET = True
+    try:
+        rng = np.random.default_rng(3)
+        for (M, N, D) in ((4096, 5000, 64), (3000, 4996, 64),
+                          (2048, 500, 8)):
+            ids = jnp.asarray(rng.integers(0, N, M), jnp.int32)
+            g = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+            want = np.zeros((N, D), np.float32)
+            np.add.at(want, np.asarray(ids), np.asarray(g))
+            got1 = np.asarray(SA.scatter_add_rows(ids, g, N))
+            np.testing.assert_allclose(got1, want, atol=1e-4, rtol=1e-5)
+            if N % 2 == 0:
+                got2 = np.asarray(SA.scatter_add_rows2(ids, g, N))
+                np.testing.assert_allclose(got2, want, atol=1e-4, rtol=1e-5)
+    finally:
+        SA._INTERPRET = old
+
+
+def test_gather_vmem_grads_match_plain_gather():
+    """gather_vmem forward == table[ids]; its custom backward (the VMEM
+    scatter kernel) == XLA autodiff of the plain gather."""
+    from unirec_tpu.ops import scatter_accum as SA
+
+    old = SA._INTERPRET
+    SA._INTERPRET = True
+    try:
+        rng = np.random.default_rng(5)
+        table = jnp.asarray(rng.normal(size=(1000, 32)), jnp.float32)
+        ids = jnp.asarray(rng.integers(0, 1000, (64, 17)), jnp.int32)
+        G = jnp.asarray(rng.normal(size=(64, 17, 32)), jnp.float32)
+
+        def loss(fn):
+            return lambda t: jnp.vdot(fn(t, ids), G)
+
+        out = SA.gather_vmem(table, ids)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(table[ids]))
+        g_vmem = jax.grad(loss(SA.gather_vmem))(table)
+        g_ref = jax.grad(loss(lambda t, i: t[i]))(table)
+        np.testing.assert_allclose(np.asarray(g_vmem), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-5)
+    finally:
+        SA._INTERPRET = old

@@ -174,6 +174,14 @@ class BaseRecommender(nn.Module):
             from unirec_tpu.ops.embedding import gather_scan
             return gather_scan(emb.embedding, ids,
                                self.compute_dtype) * (ids != 0)[..., None]
+        if self.cfg.get("vmem_embedding_grad"):
+            # Pallas backward scatter with the whole table accumulated in
+            # VMEM (ops/scatter_accum.py) — sidesteps the ~15 ns/row HBM
+            # random-access toll when the table fits the VMEM budget
+            from unirec_tpu.ops import scatter_accum as SA
+            table = self._cast(emb.embedding)
+            if SA.scatter_vmem_supported(*table.shape, table.dtype):
+                return SA.gather_vmem(table, ids) * (ids != 0)[..., None]
         if self.cfg.get("sorted_embedding_grad"):
             # sort-based backward scatter (ops/embedding.py) — the plain
             # gather's unsorted scatter-add grad is ~10x over its roofline
