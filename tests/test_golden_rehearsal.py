@@ -117,7 +117,7 @@ def ref_config(ml100k_shaped, tmp_path_factory):
     return cfg_dir
 
 
-def _run_reference(cfg_dir, ds, out_dir, model):
+def _run_reference(cfg_dir, ds, out_dir, model, extra=None):
     from unirec.main import main as refmain
     args = dict(GLOBAL_CONF)
     args.update({
@@ -127,15 +127,17 @@ def _run_reference(cfg_dir, ds, out_dir, model):
         "num_workers": 0, "num_workers_test": 0, "verbose": 2,
     })
     args.update(MODEL_CONF[model])
+    args.update(extra or {})
     return {k: float(v) for k, v in refmain.run(args).items()}
 
 
-def _run_ours(ds, out_dir, model):
+def _run_ours(ds, out_dir, model, extra=None):
     from unirec_tpu.main import main
     conf = copy.deepcopy(GLOBAL_CONF)
     conf.update(model=model, dataset_path=ds, output_path=out_dir,
                 exp_name=f"ours-{model}", task="train", verbose=1)
     conf.update(MODEL_CONF[model])
+    conf.update(extra or {})
     return {k: float(v) for k, v in main.run(conf).items()}
 
 
@@ -153,3 +155,32 @@ def test_golden_rehearsal(ml100k_shaped, ref_config, tmp_path, model):
         assert ref["hit@5"] > 0.02, (model, ref)
     for m in ("hit@5", "ndcg@5", "hit@10", "ndcg@10"):
         assert ours[m] >= ref[m] - TOL, (model, m, ref, ours)
+
+
+def test_multivae_meaningful_budget(ml100k_shaped, ref_config, tmp_path):
+    """MultiVAE rehearsal at a budget where the REFERENCE demonstrably
+    learns (VERDICT r4 item 6): the 3-epoch published golden is itself
+    near-random (hit@5 0.01065, reference test_cf_model.py:61), so the
+    band-parity case above proves only plumbing. At 40 epochs on the
+    ml-100k-shaped set the reference clears the >0.02 learning gate
+    (random hit@5 ~ 5/1682 = 0.003) with the KL anneal schedule advancing
+    exactly as multivae.py:106-109; ours must match or beat within the
+    golden tolerance. Budget override: UNIREC_REHEARSAL_VAE_EPOCHS."""
+    import json
+
+    ds, _ = ml100k_shaped
+    extra = {"epochs": int(os.environ.get("UNIREC_REHEARSAL_VAE_EPOCHS", 40)),
+             "early_stop": -1}
+    ref = _run_reference(ref_config, ds,
+                         os.path.join(str(tmp_path), "ref-vae40"),
+                         "MultiVAE", extra)
+    ours = _run_ours(ds, os.path.join(str(tmp_path), "ours-vae40"),
+                     "MultiVAE", extra)
+    rec = os.environ.get("UNIREC_REHEARSAL_RECORD")
+    if rec:
+        with open(rec, "a") as f:
+            f.write(json.dumps({"case": "MultiVAE", "epochs": extra["epochs"],
+                                "reference": ref, "ours": ours}) + "\n")
+    assert ref["hit@5"] > 0.02, ("reference failed to learn", ref)
+    for m in ("hit@5", "ndcg@5", "hit@10", "ndcg@10"):
+        assert ours[m] >= ref[m] - TOL, (m, ref, ours)

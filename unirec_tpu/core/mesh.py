@@ -54,6 +54,9 @@ class MeshContext:
         d = self.n_data
         for k, v in batch.items():
             v = np.asarray(v)
+            if v.ndim == 0:  # scalars (e.g. eval reparam seed): replicate
+                out[k] = jax.device_put(v, self.replicated())
+                continue
             if v.ndim >= 1 and v.shape[0] % d != 0:
                 pad = d - (v.shape[0] % d)
                 filler = np.repeat(v[-1:], pad, axis=0)

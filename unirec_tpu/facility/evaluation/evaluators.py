@@ -50,6 +50,15 @@ class _EvaluatorBase:
         reference's per-rank dataloader sharding, evaluator_abc.py:160-168).
         Rows may be padded with zero-weight copies; callers must read host
         columns via ``_host_batch`` so padding matches the device batch."""
+        # per-(evaluation, batch) reparameterization seed: reference parity
+        # for models whose EVAL forward samples noise (MultiVAE's
+        # eval_reparameter_sampling_times — torch.randn there advances the
+        # global RNG, so no two eval forwards see the same noise; see
+        # models/cf.py::MultiVAE.forward_user_emb for why this jitter is
+        # load-bearing). Deterministic given the run's evaluation history.
+        self._eval_batch_counter = getattr(self, "_eval_batch_counter", 0) + 1
+        batch = dict(batch,
+                     reparam_seed=np.int32(self._eval_batch_counter))
         if self.mesh is not None and getattr(self.mesh, "n_devices", 1) > 1:
             return self.mesh.shard_batch(batch)
         return {k: jnp.asarray(v) for k, v in batch.items()}

@@ -69,8 +69,19 @@ class MultiVAE(BaseRecommender):
                 h = jnp.tanh(h)
         return h
 
+    def _user_emb_from_batch(self, batch, train: bool):
+        # threads the evaluator's per-call seed into the eval-time
+        # reparameterization (see forward_user_emb)
+        return self.forward_user_emb(
+            user_id=batch.get("user_id"), item_seq=batch.get("item_seq"),
+            item_seq_len=batch.get("item_seq_len"),
+            item_seq_features=batch.get("item_seq_features"),
+            time_seq=batch.get("time_seq"), train=train,
+            reparam_seed=batch.get("reparam_seed"))
+
     def forward_user_emb(self, user_id=None, item_seq=None, item_seq_len=None,
-                         item_seq_features=None, time_seq=None, train: bool = False):
+                         item_seq_features=None, time_seq=None,
+                         train: bool = False, reparam_seed=None):
         mu, logvar = self._encode(item_seq, item_seq_features, time_seq, train)
         if train:
             eps = jax.random.normal(self.make_rng("dropout"), mu.shape)
@@ -78,9 +89,21 @@ class MultiVAE(BaseRecommender):
         else:
             st = int(self.cfg.get("eval_reparameter_sampling_times", 0) or 0)
             if st > 0:
-                eps = jax.random.normal(
-                    jax.random.PRNGKey(int(self.cfg.get("seed", 2022))),
-                    (*mu.shape, st)).mean(-1)
+                # Reference parity (multivae.py:70-77): every eval forward
+                # draws FRESH torch.randn noise — it advances the global
+                # torch RNG, so successive validations of near-identical
+                # params get different metrics. That jitter is load-bearing:
+                # the plateau LR scheduler (patience=1) feeds on it; with a
+                # fixed key every flat validation is bit-identical and the
+                # scheduler collapses the LR to ~1e-17 before the model can
+                # learn (r5 root-cause of the frozen MultiVAE rehearsal).
+                # The evaluator threads a per-(evaluation, batch) seed
+                # through the batch; a fixed key remains the no-seed
+                # fallback for direct forward_user_emb callers.
+                base = jax.random.PRNGKey(int(self.cfg.get("seed", 2022)))
+                if reparam_seed is not None:
+                    base = jax.random.fold_in(base, reparam_seed)
+                eps = jax.random.normal(base, (*mu.shape, st)).mean(-1)
                 z = mu + eps * jnp.exp(0.5 * logvar)
             else:
                 z = mu
