@@ -192,20 +192,64 @@ def test_e2e_rank_grouped_device_pipeline(synth_dataset, tmp_path):
 
 
 def test_e2e_multivae_device_pipeline(synth_dataset, tmp_path):
+    """AERec device batching == host batching (exact, batch level) plus an
+    end-to-end device-path training smoke.
+
+    The r4 version asserted an absolute hit@5 threshold; on this 200x300
+    fixture that was decided by eval-noise luck in best-epoch selection
+    (the r5 reference-parity eval noise exposed it: the r4 'pass' selected
+    the UNTRAINED epoch-0 model via a lucky fixed-key validation score).
+    Full-run metric equality between the paths is also not the contract —
+    the augmenter path splits the step rng once more (trainer
+    _build_train_step), so the dropout streams differ by design. What IS
+    the contract: both paths feed the model identical batches, and the
+    device path trains end-to-end."""
+    import json
+
+    from unirec_tpu import config as config_mod
+    from unirec_tpu.data import pipeline as pl
+    from unirec_tpu.data.datasets import AERecDataset
+    from unirec_tpu.main.main import load_user_history
+
     root, info = synth_dataset
     conf = copy.deepcopy(BASE_CONF)
     conf.update(model="MultiVAE", dataloader="AERecDataset",
-                n_sample_neg_train=0, device_pipeline=1, epochs=6,
-                learning_rate=0.005, dataset_path=root, task="train",
-                exp_name="vae-dp",
-                output_path=os.path.join(str(tmp_path), "dpvae"))
-    result = main.run(conf)
-    # threshold: clearly above random (5/300). With the reference KL-anneal
-    # schedule wired (min(cap, step/total_anneal_steps), default total=2e6)
-    # the KL term is ~0 in a short run, which sits slightly below the old
-    # constant-0.2 behavior on this fixture.
-    assert result["hit@5"] > 1.5 * 5.0 / 300.0, result
-    assert result["hit@10"] > 1.2 * 10.0 / 300.0, result
+                dataset_path=root, n_sample_neg_train=0, shuffle_train=0,
+                n_users=info["n_users"], n_items=info["n_items"])
+    conf = config_mod.parse_arguments(conf, argv=[])
+    conf["data_format"] = info.get("train_file_format",
+                                   conf.get("data_format", "user-item"))
+    ds = AERecDataset(conf, root, "train")
+    hist = load_user_history(conf)
+    host_batches = list(pl.make_train_batcher(ds, conf, hist))
+
+    cols = ds.cols
+    lens = np.zeros(conf["n_users"], np.int32)
+    mat = np.zeros((conf["n_users"], cols["hist"].shape[1]),
+                   cols["hist"].dtype)
+    mat[cols["user_id"]] = cols["hist"]
+    lens[cols["user_id"]] = cols["hist_len"]
+    aug = DeviceAugmenter(dict(conf), UserHistory(mat, lens), aerec=True)
+    rb = RawIdBatcher(cols["user_id"], np.zeros_like(cols["user_id"]),
+                      int(conf.get("batch_size", 256)),
+                      seed=int(conf.get("seed", 2022)), shuffle=False)
+    for host_b, raw in zip(host_batches, rb):
+        dev_b = aug.augment(
+            aug.with_state({k: jnp.asarray(v) for k, v in raw.items()}),
+            jax.random.PRNGKey(0))
+        for k in ("item_seq", "item_seq_len", "user_id", "weight"):
+            np.testing.assert_array_equal(np.asarray(host_b[k]),
+                                          np.asarray(dev_b[k]), err_msg=k)
+
+    # e2e smoke: the device path trains and evaluates without error
+    run_conf = copy.deepcopy(BASE_CONF)
+    run_conf.update(model="MultiVAE", dataloader="AERecDataset",
+                    n_sample_neg_train=0, device_pipeline=1, epochs=3,
+                    learning_rate=0.005, dataset_path=root, task="train",
+                    exp_name="vae-dp",
+                    output_path=os.path.join(str(tmp_path), "dpvae"))
+    result = main.run(run_conf)
+    assert result and all(np.isfinite(v) for v in result.values()), result
 
 
 @pytest.mark.parametrize("C", [2, 4, 8, 37, 64])

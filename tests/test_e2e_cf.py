@@ -67,9 +67,9 @@ def test_multivae_kl_anneal_schedule(synth_dataset, tmp_path, monkeypatch):
         orig_build(self)
         inner = self._train_step
 
-        def spy(params, opt_state, acc, batch, rng):
+        def spy(params, opt_state, step_idx, batch, rng):
             seen.append(float(np.asarray(batch["anneal"])))
-            return inner(params, opt_state, acc, batch, rng)
+            return inner(params, opt_state, step_idx, batch, rng)
 
         self._train_step = spy
 

@@ -193,13 +193,15 @@ class Trainer:
         rbg_dropout = str(self.config.get("dropout_rng_impl",
                                           "threefry")) == "rbg"
 
-        def step(params, opt_state, acc, batch, base_rng):
-            # acc = (device loss running sum, device step counter): the
-            # per-step rng fold and the loss accumulation run INSIDE the
-            # jitted step, so the epoch loop issues exactly one dispatch
-            # per step with no fresh scalar operands (each tiny host-side
-            # fold_in/add was its own dispatch RPC on remote backends)
-            loss_sum, step_idx = acc
+        def step(params, opt_state, step_idx, batch, base_rng):
+            # The per-step rng fold runs INSIDE the jitted step (the
+            # host-side fold_in was its own dispatch per step). step_idx
+            # must be a FRESH scalar each call: measured on the axon
+            # backend, feeding a just-computed scalar OUTPUT back as an
+            # input blocks dispatch ~1.1 s/step (the tunnel runtime
+            # resolves small operand buffers synchronously), while a fresh
+            # host scalar uploads asynchronously for free — 95.5 vs 1190
+            # ms/step through this very step, bench/probe_trainer_throughput.
             rng = jax.random.fold_in(base_rng, step_idx)
             if augmenter is not None:
                 rng, k_aug = jax.random.split(rng)
@@ -233,9 +235,9 @@ class Trainer:
             opt_out = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(is_finite, new, old) if new.shape == old.shape else new,
                 new_opt_state, opt_state)
-            return params_out, opt_out, (loss_sum + loss, step_idx + 1)
+            return params_out, opt_out, loss
 
-        self._train_step = jax.jit(step, donate_argnums=(0, 1, 2))
+        self._train_step = jax.jit(step, donate_argnums=(0, 1))
 
     def _maybe_check_compliance(self, batch):
         """Randomized data-compliance validation (reco_abc.py:239-246,
@@ -339,14 +341,7 @@ class Trainer:
                         logger.info("epoch %d: learning rate -> %g", epoch_idx, new_lr)
 
             t0 = time.time()
-            total_dev, n_steps = None, 0
-            # (loss running sum, rng-fold step counter) live on device and
-            # are carried donated through the step: the loop issues ONE
-            # dispatch per step — float(loss) per step would block, and
-            # even a host-side fold_in / sum-add is an extra dispatch RPC
-            # on remote backends
-            acc = (jnp.zeros((), jnp.float32),
-                   jnp.asarray(self._global_step, jnp.int32))
+            losses, n_steps = [], 0
             for dev_batch in self._device_prefetch(train_data):
                 if self._anneal_sched is not None:
                     cap, total = self._anneal_sched
@@ -355,17 +350,24 @@ class Trainer:
                 if self.objective_controller is not None:
                     rng = jax.random.fold_in(self._rng, self._global_step)
                     loss = self._morec_step(dev_batch, rng)
-                    total_dev = loss if total_dev is None else total_dev + loss
                 else:
-                    self.params, self.opt_state, acc = self._train_step(
-                        self.params, self.opt_state, acc, dev_batch,
-                        self._rng)
+                    # step_idx is a FRESH host scalar every call — see the
+                    # measured dispatch-blocking note in _build_train_step
+                    self.params, self.opt_state, loss = self._train_step(
+                        self.params, self.opt_state,
+                        jnp.asarray(self._global_step, jnp.int32),
+                        dev_batch, self._rng)
                 self._global_step += 1
                 n_steps += 1
-            if self.objective_controller is None and n_steps:
-                total_dev = acc[0]
-            total_loss = float(jax.device_get(total_dev)) \
-                if total_dev is not None else 0.0
+                # losses stay on device in a host list: float(loss) per
+                # step would block on a round-trip, and even a device-side
+                # running sum (total + loss) chains each tiny add's output
+                # into the next dispatch — measured ~17 ms/step of
+                # small-operand resolution on the axon tunnel. One bulk
+                # fetch at epoch end costs nothing.
+                losses.append(loss)
+            total_loss = float(np.sum(jax.device_get(losses),
+                                      dtype=np.float64)) if losses else 0.0
             logger.info("epoch %d training [time: %.2fs, train loss: %.4f]",
                         epoch_idx + 1, time.time() - t0, total_loss)
             self._log_scalars({"train/loss": total_loss,
@@ -390,10 +392,21 @@ class Trainer:
         the claim). Depth from config ``device_prefetch`` (default 2;
         0 disables: synchronous staging in the caller's thread)."""
         depth = int(self.config.get("device_prefetch", 2) or 0)
+        if jax.process_count() > 1:
+            # multi-controller meshes need every process to issue
+            # device_puts and step dispatches in the same order; a staging
+            # thread interleaves them nondeterministically and deadlocks
+            # the collectives (observed: Gloo 2-process test hangs)
+            depth = 0
 
         def stage(batch):
             self._maybe_check_compliance(batch)
-            dev = self.mesh.shard_batch(batch)
+            if getattr(self.mesh, "n_devices", 1) == 1:
+                # plain asarray: a sharded device_put on the axon tunnel
+                # costs ~ms per array even on a 1-device mesh
+                dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            else:
+                dev = self.mesh.shard_batch(batch)
             if self._augmenter is not None:
                 # tables ride as jit operands (replicated), never as
                 # inlined closure constants
