@@ -444,7 +444,16 @@ class Trainer:
                     raise item
                 yield item
         finally:
-            t.join(timeout=5.0)
+            # consumer may exit early (KeyboardInterrupt -> test-eval
+            # fallthrough): drain so a pump blocked on a full queue can
+            # finish instead of stalling the join
+            import queue as _q
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except _q.Empty:
+                    pass
+                t.join(timeout=0.1)
 
     def _log_scalars(self, scalars: Dict[str, float], step: int):
         if self._tb is not None:
