@@ -150,7 +150,13 @@ class DeviceAugmenter:
         cand = cand.reshape(B, self.n_neg, self.oversample)
         ok = ok.reshape(B, self.n_neg, self.oversample)
         first = jnp.argmax(ok, axis=-1)
-        chosen = jnp.take_along_axis(cand, first[..., None], axis=-1)[..., 0]
+        # unrolled select instead of take_along_axis over the (tiny)
+        # oversample axis: XLA lowers the gather at ~14 ns/row (4.2 ms/step
+        # at bench shapes, r5 trace fusion.5); oversample-1 vectorized
+        # where's over [B, n_neg] are pure VPU and near-free
+        chosen = cand[..., 0]
+        for j in range(1, self.oversample):
+            chosen = jnp.where(first == j, cand[..., j], chosen)
         return jnp.where(ok.any(-1), chosen, 0).astype(jnp.int32)
 
     def history_window(self, key, rows, lens, tgt2d, trows=None,
