@@ -58,15 +58,16 @@ def _scatter_kernel(ids_ref, g_ref, acc_ref, *, R, S):
         # sublane idx%8 (pltpu.roll, dynamic shift), and RMW the aligned
         # 8-row accumulator tile.
         base = pl.multiple_of(r * 8, 8)
-        gtile = g_ref[pl.ds(base, 8), :]
+        # Mosaic's dynamic rotate is 32-bit only: convert the whole 8-row
+        # tile to f32 ONCE instead of per row
+        gtile32 = g_ref[pl.ds(base, 8), :].astype(jnp.float32)
+        dt = g_ref.dtype
         for s in range(8):
             idx = ids_ref[base + s]
             tbase = pl.multiple_of((idx // 8) * 8, 8)
             tsub = idx - tbase
-            keep = jnp.where(sub_iota == s, gtile, 0)
-            # Mosaic's dynamic rotate is 32-bit only; round-trip through f32
-            contrib = pltpu.roll(keep.astype(jnp.float32),
-                                 shift=tsub - s, axis=0).astype(gtile.dtype)
+            keep = jnp.where(sub_iota == s, gtile32, 0.0)
+            contrib = pltpu.roll(keep, shift=tsub - s, axis=0).astype(dt)
             acc_ref[pl.ds(tbase, 8), :] = (
                 acc_ref[pl.ds(tbase, 8), :] + contrib)
         return 0
