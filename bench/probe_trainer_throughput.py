@@ -76,7 +76,7 @@ def main():
     n = len(raw)
     print(f"trainer epoch: {n} steps of batch {bench.BATCH} in {dt:.2f} s -> "
           f"{1000*dt/n:.1f} ms/step, {n*bench.BATCH/dt:,.0f} examples/sec "
-          f"(bare loop r5: ~95.3 ms/step, ~344k ex/s; steady-state "
+          f"(bare loop r5-final: ~90.7 ms/step, ~361k ex/s; steady-state "
           f"parity — the residual is a fixed ~0.45 s/epoch fill+drain)")
 
 

@@ -64,6 +64,9 @@ def _dot(a, b):
 MASK_VALUE = -1e4  # reference additive mask (sasrec.py:56)
 
 _INTERPRET = False  # flipped by tests on CPU
+# r5 experiment: block-diagonal two-head packing of the attention matmuls
+# (see _attention_heads). Opt-in via env for the A/B; numerics identical.
+_PACKED_HEADS = bool(int(os.environ.get("UNIREC_PACKED_HEADS", "0") or 0))
 
 
 # --------------------------------------------------------------- activations
@@ -211,6 +214,47 @@ def _attention_heads(x2, madd, wqkv, bqkv, seed_ref, *, mb, L, nh, hd,
         mfull = jnp.minimum(mrow, tri)
     else:
         mfull = jnp.broadcast_to(mrow, (mb, L, L))
+    if nh == 2 and _PACKED_HEADS:
+        # Block-diagonal head packing (r5 experiment): both heads' scores
+        # in ONE batched matmul per block — S2 = q_all @ K2^T with K2
+        # [2L, D] holding head h's keys in rows h*L:(h+1)*L, lanes
+        # h*hd:(h+1)*hd (cross blocks hit zeros). Halves MXU tile passes
+        # (each per-head [L, hd]@[hd, L] pass used 1/16 of a 128^3 tile);
+        # ctx likewise via a zero-padded V2 whose output lands already
+        # head-concatenated. Softmax/dropout are per-half so numerics ==
+        # the unpacked loop (same _keep_canonical bits per head).
+        q_all = qkv[:, :D].reshape(mb, L, D)
+        k_all = qkv[:, D:2 * D].reshape(mb, L, D)
+        v_all = qkv[:, 2 * D:].reshape(mb, L, D)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (mb, L, D), 2)
+        K2 = jnp.concatenate([jnp.where(lane < hd, k_all, 0),
+                              jnp.where(lane >= hd, k_all, 0)], axis=1)
+        V2 = jnp.concatenate([jnp.where(lane < hd, v_all, 0),
+                              jnp.where(lane >= hd, v_all, 0)], axis=1)
+        s2 = _bdot(q_all, K2, 2, 2) * scale              # [MB, L, 2L] f32
+        s2 = s2 + jnp.concatenate([mfull, mfull], axis=-1)
+        halves = []
+        for h in range(2):
+            sh = s2[:, :, h * L:(h + 1) * L]
+            sh = sh - jnp.max(sh, axis=-1, keepdims=True)
+            ph = jnp.exp(sh)
+            halves.append(ph / jnp.sum(ph, axis=-1, keepdims=True))
+        bundle = []
+        if save:
+            for h in range(2):
+                bundle.append((qkv[:, h * hd:(h + 1) * hd].reshape(mb, L, hd),
+                               qkv[:, D + h * hd:D + (h + 1) * hd].reshape(mb, L, hd),
+                               qkv[:, 2 * D + h * hd:2 * D + (h + 1) * hd].reshape(mb, L, hd),
+                               halves[h]))
+        if train and p_attn > 0.0:
+            inv = 1.0 / (1.0 - p_attn)
+            halves = [jnp.where(_keep_canonical(seed_ref, h, mb,
+                                                halves[h].shape, p_attn),
+                                halves[h] * inv, 0.0) for h in range(2)]
+        p2 = jnp.concatenate(halves, axis=-1)            # [MB, L, 2L]
+        ctx = _bdot(p2.astype(dt), V2, 2, 1)             # [MB, L, D]
+        return qkv, ctx.astype(dt).reshape(mb * L, D), bundle
+
     ctx_heads, bundle = [], []
     for h in range(nh):
         qh = qkv[:, h * hd:(h + 1) * hd].reshape(mb, L, hd)
