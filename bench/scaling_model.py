@@ -47,7 +47,7 @@ if __name__ == "__main__" and os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # measured on the one real chip (bench.py, docs/performance_notes.md)
-MEASURED_MS_PER_STEP = 107.5
+MEASURED_MS_PER_STEP = 90.7
 MEASURED_BATCH = 32_768
 
 # v5e ICI: 2D torus, ~45 GB/s one-way per link per direction (public
