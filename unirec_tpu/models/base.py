@@ -174,10 +174,13 @@ class BaseRecommender(nn.Module):
             from unirec_tpu.ops.embedding import gather_scan
             return gather_scan(emb.embedding, ids,
                                self.compute_dtype) * (ids != 0)[..., None]
-        if self.cfg.get("vmem_embedding_grad"):
+        if self.cfg.get("vmem_embedding_grad") \
+                and not self.cfg.get("shard_embeddings"):
             # Pallas backward scatter with the whole table accumulated in
             # VMEM (ops/scatter_accum.py) — sidesteps the ~15 ns/row HBM
-            # random-access toll when the table fits the VMEM budget
+            # random-access toll when the table fits the VMEM budget.
+            # Row-sharded tables keep the XLA scatter: a pallas_call under
+            # GSPMD would need a shard_map wrapper to see only its shard.
             from unirec_tpu.ops import scatter_accum as SA
             table = self._cast(emb.embedding)
             if SA.scatter_vmem_supported(*table.shape, table.dtype):
