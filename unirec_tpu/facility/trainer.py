@@ -446,9 +446,12 @@ class Trainer:
         finally:
             # consumer may exit early (KeyboardInterrupt -> test-eval
             # fallthrough): drain so a pump blocked on a full queue can
-            # finish instead of stalling the join
+            # finish instead of stalling the join. Bounded: if the pump is
+            # stuck in a backend RPC (not on the queue), abandon the
+            # daemon thread after 30 s rather than spinning forever.
             import queue as _q
-            while t.is_alive():
+            deadline = time.time() + 30.0
+            while t.is_alive() and time.time() < deadline:
                 try:
                     q.get_nowait()
                 except _q.Empty:
