@@ -252,5 +252,33 @@ def main():
     }))
 
 
+def _axon_preflight():
+    """Fail fast with a diagnostic if the axon TPU tunnel is dead.
+
+    jax backend init hangs indefinitely against a dead tunnel (observed:
+    the relay process can die and leave its ports refusing connections,
+    docs/performance_notes.md round-5); a clear error beats a silent hang
+    in any driver that shells out to this script."""
+    if _os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return
+    import socket
+    for port in (8082, 8083, 8092, 8093, 8102, 8103, 8112, 8113):
+        s = socket.socket()
+        s.settimeout(2.0)
+        try:
+            s.connect(("127.0.0.1", port))
+            return  # at least one relay port is alive
+        except OSError:
+            continue
+        finally:
+            s.close()
+    print(json.dumps({
+        "error": "axon TPU tunnel unreachable (all relay ports refused); "
+                 "backend init would hang — restart the tunnel and rerun"}),
+        flush=True)
+    sys.exit(3)
+
+
 if __name__ == "__main__":
+    _axon_preflight()
     main()
