@@ -85,3 +85,29 @@ def test_convert_adjacency_and_train(tmp_path):
                 epochs=2, exp_name="adj")
     result = main.run(conf)
     assert result is not None and 0 <= result["hit@5"] <= 1
+
+
+def test_convert_adjacency_concatenates_repeated_user_lines(tmp_path):
+    """A user id spanning multiple lines (malformed or chunked export) must
+    concatenate interactions, not silently keep only the LAST line
+    (r4 advisor finding on data/prepare.py::convert_adjacency)."""
+    from unirec_tpu.data.prepare import convert_adjacency
+
+    split_dir = os.path.join(str(tmp_path), "splits")
+    os.makedirs(split_dir)
+    with open(os.path.join(split_dir, "train.txt"), "w") as f:
+        f.write("0 1 2 3\n")
+        f.write("1 4 5\n")
+        f.write("0 6 7\n")   # user 0 again — must merge with the first line
+    for fname in ("val.txt", "test.txt"):
+        with open(os.path.join(split_dir, fname), "w") as f:
+            f.write("0 8\n1 9\n")
+
+    out = os.path.join(str(tmp_path), "data")
+    convert_adjacency(split_dir, out)
+    train = pd.read_pickle(os.path.join(out, "train.pkl"))
+    u0 = sorted(train[train["user_id"] == 1]["item_id"])  # ids shift by 1
+    assert u0 == [2, 3, 4, 7, 8], u0
+    hist = pd.read_pickle(os.path.join(out, "user_history.pkl"))
+    h0 = hist[hist["user_id"] == 1]["item_seq"].iloc[0]
+    assert sorted(h0) == [2, 3, 4, 7, 8]
