@@ -1207,6 +1207,41 @@ def test_fused_layer_grads_match_unfused():
         assert err < 1e-5 + 1e-3 * scale, (jax.tree_util.keystr(k), err)
 
 
+def test_packed_heads_matches_per_head_loop(monkeypatch):
+    """UNIREC_PACKED_HEADS=1 (block-diagonal two-head matmul packing,
+    ops/layer.py::_attention_heads) is numerically identical to the shipped
+    per-head loop: the softmax runs per-half on the same masked scores, so
+    only f32 rounding of the zero-padded K2/V2 contractions differs. The
+    flag shipped as a measured-negative opt-in (docs/performance_notes.md
+    round-5 head-packing section); this pins its correctness in-suite."""
+    import unirec_tpu.ops.layer as LY
+
+    ref, fused, variables, x, mask = _fused_layer_setup(L=16)
+    rng = np.random.default_rng(11)
+    G = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+
+    def loss(p, xx):
+        return jnp.vdot(fused.apply({"params": p}, xx, mask, False), G)
+
+    out_loop = fused.apply(variables, x, mask, False)
+    gl_p, gl_x = jax.grad(loss, argnums=(0, 1))(variables["params"], x)
+
+    monkeypatch.setattr(LY, "_PACKED_HEADS", True)
+    out_packed = fused.apply(variables, x, mask, False)
+    gp_p, gp_x = jax.grad(loss, argnums=(0, 1))(variables["params"], x)
+
+    np.testing.assert_allclose(np.asarray(out_packed), np.asarray(out_loop),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp_x), np.asarray(gl_x),
+                               atol=2e-6, rtol=1e-4)
+    for (k, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gl_p),
+            jax.tree_util.tree_leaves_with_path(gp_p)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-6, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(k))
+
+
 def test_fused_layer_bf16_close_to_f32():
     """bf16 compute dtype: fused output within bf16 tolerance of the
     unfused bf16 path (kernel does softmax/LN in f32; XLA path in bf16)."""
