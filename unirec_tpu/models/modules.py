@@ -534,7 +534,7 @@ class FeedForward(nn.Module):
             y = ffn_ops.fused_ffn(
                 x2, w1.astype(dt), b1.astype(dt), w2.astype(dt),
                 b2.astype(dt), self.hidden_act, 1024,
-                jax.default_backend() != "tpu")
+                ffn_ops._INTERPRET or jax.default_backend() != "tpu")
             h = y.reshape(x.shape[:-1] + (self.hidden_size,))
         else:
             h = nn.Dense(self.inner_size, kernel_init=self.kernel_init,

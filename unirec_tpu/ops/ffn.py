@@ -29,6 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from unirec_tpu.ops.common import mm_precision
 
+_INTERPRET = False  # flipped by tests / the dryrun CPU fallback
+
 _SQRT_2_OVER_PI = 0.7978845608028654
 
 

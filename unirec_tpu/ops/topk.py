@@ -23,6 +23,8 @@ from unirec_tpu.ops.common import mm_precision
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+_INTERPRET = False  # flipped by tests / the dryrun CPU fallback
+
 
 def full_catalog_scores(model, variables, batch, item_emb, tau: float = 1.0):
     """Shared full-catalog scoring: user emb × item table + bias terms / tau
@@ -347,7 +349,7 @@ def fused_catalog_topk(user_emb: jnp.ndarray, item_emb: jnp.ndarray, k: int,
     B, D = user_emb.shape
     N = item_emb.shape[0]
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = _INTERPRET or jax.default_backend() != "tpu"
     if item_block is None:
         item_block = min(8192, max(chunk,
                                    (2 << 20) // max(2 * D, 1) // chunk * chunk))
